@@ -1,0 +1,12 @@
+from combinedfeatureextraction_spark.operators import (  # noqa: F401
+    aggregates,
+    asof,
+    dedup,
+    fill,
+    joins,
+    priority,
+    sessionize,
+    similarity,
+    threshold,
+    window_features,
+)

@@ -1,0 +1,236 @@
+"""Point-in-time (as-of) join — the engine's flagship operator.
+
+Reference analog (SURVEY.md J1): the spatial-containment probe — each
+element matched against the most-specific enclosing region state
+(`medulla_path.contains_points(points)`, extract_reference_features.py:
+110-133,397-400) — generalized to the temporal axis: each probe row is
+matched to the most recent build row with ``build.ts <= probe.ts`` for the
+same key. Zero temporal leakage by construction: no build row with
+``ts > probe.ts`` can ever influence the output (verified by the prefix
+test in tests/test_asof.py).
+
+Three physical strategies, one logical semantics:
+
+ - ``union`` (default): tag build rows 0 / probe rows 1, UNION ALL, then
+   ``last(value, ignorenulls=True)`` over a window partitioned by key and
+   ordered by (ts, tag). ONE shuffle, no UDF, whole-stage codegen
+   end-to-end; the partition sort is the "sorted-merge" — this is the plan
+   you want at 100 TB because it never materializes a join hash table and
+   AQE can split skewed partitions of the sort.
+
+ - ``cogroup``: entity-hash-bucketed ``groupBy().cogroup().applyInPandas``
+   running ``pandas.merge_asof`` per bucket (Arrow-vectorized, zero
+   per-row Python). Use when per-probe tolerance windows or nearest-side
+   semantics are needed beyond what the union trick expresses.
+
+ - salting (``salt`` > 1, composes with ``union``): hot Zipf keys are split
+   across ``salt`` sub-partitions — build rows replicated to every salt,
+   probe rows hashed to one — bounding the largest sort partition at
+   1/salt of the hot key. Same results, verified in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TAG = "__cfe_tag"
+_SALT = "__cfe_salt"
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str],
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    values: Sequence[str] | None = None,
+    allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
+    strategy: str = "union",
+    salt: int = 1,
+    bucket_count: int = 32,
+) -> DataFrame:
+    """As-of join: probe row → most recent build values with
+    build_ts <= probe_ts (or < when allow_exact_matches=False), per key.
+
+    Output: all probe columns + one column per entry of ``values`` (NULL
+    when no build row qualifies). ``tolerance_seconds`` additionally nulls
+    matches older than the tolerance (pd.merge_asof semantics).
+    """
+    keys = list(keys)
+    values = list(values) if values else [
+        c for c in build.columns if c not in set(keys) | {build_ts}
+    ]
+    if strategy == "cogroup":
+        return _asof_cogroup(
+            probe, build, keys, probe_ts, build_ts, values,
+            allow_exact_matches, tolerance_seconds, bucket_count,
+        )
+    if strategy != "union":
+        raise ValueError(f"unknown asof strategy: {strategy}")
+    return _asof_union(
+        probe, build, keys, probe_ts, build_ts, values,
+        allow_exact_matches, tolerance_seconds, salt,
+    )
+
+
+def _asof_union(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    build_ts: str,
+    values: list[str],
+    allow_exact_matches: bool,
+    tolerance_seconds: float | None,
+    salt: int,
+) -> DataFrame:
+    ts_col = "__cfe_ts"
+    matched_ts = "__cfe_matched_ts"
+    probe_cols = probe.columns
+    # at equal ts: build sorts BEFORE probe when exact matches are allowed
+    build_tag, probe_tag = (0, 1) if allow_exact_matches else (1, 0)
+
+    b = build.select(
+        *keys,
+        F.col(build_ts).alias(ts_col),
+        F.lit(build_tag).alias(_TAG),
+        F.col(build_ts).cast("double").alias(matched_ts),
+        *[F.col(v) for v in values],
+    )
+    # carry probe payload columns as nulls on the build side and vice versa
+    payload = [c for c in probe_cols if c not in keys and c != probe_ts]
+    for c in payload:
+        b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+    p = probe.select(
+        *keys,
+        F.col(probe_ts).alias(ts_col),
+        F.lit(probe_tag).alias(_TAG),
+        F.lit(None).cast("double").alias(matched_ts),
+        *[F.lit(None).cast(build.schema[v].dataType).alias(v) for v in values],
+        *[F.col(c) for c in payload],
+    )
+    u = p.unionByName(b)
+
+    if salt > 1:
+        # replicate build rows to every salt bucket; probe rows pick one
+        # deterministic bucket — each (key, salt) partition sees the full
+        # build history, so results are identical to the unsalted plan.
+        u = u.withColumn(
+            _SALT,
+            F.when(
+                F.col(_TAG) == probe_tag,
+                F.pmod(F.xxhash64(F.col(ts_col), *[F.col(k) for k in keys]), F.lit(salt)),
+            ),
+        ).withColumn(
+            _SALT,
+            F.explode(
+                F.when(
+                    F.col(_SALT).isNull(),
+                    F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"),
+                ).otherwise(F.array(F.col(_SALT)))
+            ),
+        )
+        part = keys + [_SALT]
+    else:
+        part = keys
+
+    # tag values already encode exact-match semantics: at equal ts the build
+    # row sorts before the probe iff exact matches are allowed. Duplicate
+    # build rows at identical (key, ts) are the caller's ambiguity to dedupe
+    # (as with pd.merge_asof).
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled_ts = F.last(matched_ts, ignorenulls=True).over(w)
+    out = u
+    for v in values:
+        out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    out = out.withColumn(matched_ts, filled_ts)
+    out = out.filter(F.col(_TAG) == probe_tag)
+    if tolerance_seconds is not None:
+        stale = (F.col(ts_col).cast("double") - F.col(matched_ts)) > F.lit(
+            float(tolerance_seconds)
+        )
+        for v in values:
+            out = out.withColumn(v, F.when(stale, F.lit(None)).otherwise(F.col(v)))
+    return out.select(
+        *keys, F.col(ts_col).alias(probe_ts), *payload, *values
+    )
+
+
+def _asof_cogroup(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    build_ts: str,
+    values: list[str],
+    allow_exact_matches: bool,
+    tolerance_seconds: float | None,
+    bucket_count: int,
+) -> DataFrame:
+    """Entity-hash-bucketed cogrouped pandas merge_asof.
+
+    Buckets (not raw keys) are the cogroup unit so a high-cardinality key
+    space doesn't create millions of tiny Arrow batches; inside a bucket
+    ``pd.merge_asof(by=keys)`` handles the per-key matching. This is the
+    SURVEY §7.6 pattern: entity-range buckets, ts-sorted, merged in one
+    vectorized pass.
+    """
+    bucket = "__cfe_bucket"
+    pb = probe.withColumn(bucket, F.pmod(F.xxhash64(*keys), F.lit(bucket_count)))
+    bb = build.withColumn(bucket, F.pmod(F.xxhash64(*keys), F.lit(bucket_count)))
+
+    out_fields = list(probe.schema.fields) + [build.schema[v] for v in values]
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in out_fields]
+    )
+    probe_cols = probe.columns
+    tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds else None
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.drop(columns=[bucket])
+        right = right.drop(columns=[bucket])
+        if left.empty:
+            return pd.DataFrame(columns=probe_cols + values)
+        left = left.sort_values(probe_ts, kind="mergesort")
+        if right.empty:
+            res = left.copy()
+            for v in values:
+                res[v] = None
+            return res[probe_cols + values]
+        right = right[keys + [build_ts] + values].sort_values(
+            build_ts, kind="mergesort"
+        )
+        if build_ts == probe_ts:
+            right = right.rename(columns={build_ts: "__rts"})
+            rts = "__rts"
+        else:
+            rts = build_ts
+        res = pd.merge_asof(
+            left,
+            right,
+            left_on=probe_ts,
+            right_on=rts,
+            by=keys,
+            allow_exact_matches=allow_exact_matches,
+            tolerance=tol,
+            direction="backward",
+        )
+        return res[probe_cols + values]
+
+    return (
+        pb.groupBy(bucket)
+        .cogroup(bb.groupBy(bucket))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+These are first-class engine operators (not in the reference — they're the
+corpus-scale counterpart of its overlap conflict-resolution J6 / last-wins
+W9 semantics: among duplicate rows, one canonical winner is kept by an
+explicit priority).
+
+Scale design:
+ - exact: one hash-shuffle on the content hash, map-side combinable.
+ - MinHash/SimHash: signatures are pure JVM expressions over the shingle
+   array (explode-free: higher-order funcs on the array), so signature
+   computation is a shuffle-free projection; only the LSH band →
+   candidate-pair stage shuffles, and it shuffles SIGNATURES (few bytes),
+   never documents. Candidate verification joins back by id.
+ - banding math: P(candidate | jaccard=s) = 1-(1-s^r)^b — choose (b, r)
+   for the target threshold; defaults target ~0.8.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from combinedfeatureextraction_spark.operators.priority import last_wins
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    tie_break: Sequence[Column],
+) -> DataFrame:
+    """Keep one row per distinct content (hash-groupBy): winner = first row
+    under ``tie_break`` ordering. One shuffle on the 64-bit content hash."""
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    return last_wins(df.withColumn("_h", h), ["_h"], tie_break).drop("_h")
+
+
+# ------------------------------------------------------------- shingles
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array, built array-side (no explode):
+    transform over a 0..len-n index sequence."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.split(c, " ")
+    k = F.size(ws) - (n - 1)
+    # sequence(1, 0) would DESCEND in Spark — guard short docs explicitly
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)])
+    )
+    return F.array_distinct(sh)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold. Exact but quadratic per block —
+    ``block_col`` (e.g. source / length bucket) bounds the self-join; use
+    minhash_lsh_dedup for corpus scale. Output: (id_a, id_b, jaccard_sim),
+    id_a < id_b."""
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, n).alias("_sh"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"),
+        *( [F.col(block_col).alias("_blkb")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_blk") == F.col("_blkb"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """array<long> of length num_hashes: min over shingles of
+    xxhash64(shingle, seed_i). Pure projection — no explode, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs: signature → ``bands`` bands of r=num_hashes/bands
+    rows; pairs sharing any band bucket are candidates. Only (id, band,
+    band_hash) tuples shuffle. Output: distinct (id_a, id_b)."""
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(text_col, n), num_hashes).alias("_sig"),
+    )
+    band_rows = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig")[bi * r + j].cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "b.band", "b.bh")
+    left = band_rows.select(
+        F.col("_id").alias("id_a"), "band", "bh"
+    )
+    right = band_rows.select(F.col("_id").alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidates → exact-Jaccard verification → confirmed near-dup pairs
+    (id_a, id_b, jaccard_sim). Verification joins shingle sets back by id
+    (documents shuffle once, by id, not all-pairs)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash64(col: Column | str, ngram: int = 2) -> Column:
+    """64-bit SimHash of the word n-gram stream: per bit, the sign of
+    Σ_shingles (±1). Array-side fold over bit positions via weighted sums:
+    bit_i = Σ_s ((hash(s)>>i)&1 ? 1 : -1) > 0. Pure projection."""
+    sh = word_shingles(col, ngram)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bit_exprs = []
+    for i in range(64):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bit_exprs.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    ngram: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 4×16-bit chunks (a pair within
+    hamming ≤ 3 of 64 bits must agree on ≥1 chunk — pigeonhole), verify
+    with exact hamming. Output: (id_a, id_b, hamming)."""
+    sigs = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col, ngram).alias("_sig")
+    )
+    chunks = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("_sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "_sig", "c.chunk", "c.cv")
+    left = chunks.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"), "chunk", "cv"
+    )
+    right = chunks.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"), "chunk", "cv"
+    )
+    return (
+        left.join(right, ["chunk", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("_siga"), F.col("_sigb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------ embedding near-dup
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs (id_a, id_b, cos_sim). Exact within a block;
+    LSH-bucketed variant in operators.similarity for corpus scale."""
+    from combinedfeatureextraction_spark.functions.arrays import cosine
+
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
+    v = df.select(*cols)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        *([F.col(block_col).alias("_blkb")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_blk") == F.col("_blkb"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
