@@ -1,38 +1,885 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship point-in-time feature pipeline on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (same column
+names/aliases both sides; doubles rounded identically where derived).
+
+Every callable routes through combinedfeatureextraction_spark operators —
+these entries ARE the engine's conformance suite.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from combinedfeatureextraction_spark.functions import text as X
+from combinedfeatureextraction_spark.functions.timeutil import epoch_seconds
+from combinedfeatureextraction_spark.functions.arrays import cosine, payload_sum
+from combinedfeatureextraction_spark.operators.aggregates import (
+    masked_mean_std,
+    six_stat_agg,
+    six_stat_hierarchy,
+    weighted_mean,
+)
+from combinedfeatureextraction_spark.operators.asof import asof_join
+from combinedfeatureextraction_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from combinedfeatureextraction_spark.operators.fill import (
+    distance_to_boundary,
+    forward_fill,
+)
+from combinedfeatureextraction_spark.operators.joins import (
+    broadcast_equi_join,
+    interval_overlap_join,
+)
+from combinedfeatureextraction_spark.operators.priority import last_wins
+from combinedfeatureextraction_spark.operators.sessionize import (
+    component_count,
+    drop_small_sessions,
+    session_stats,
+    sessionize,
+)
+from combinedfeatureextraction_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from combinedfeatureextraction_spark.operators.threshold import (
+    global_quantile_threshold,
+    otsu_threshold,
+)
+from combinedfeatureextraction_spark.operators.window_features import (
+    topk_per_entity,
+    with_lag_lead,
+    with_percent_rank,
+    with_rebased_order,
+    with_rolling_stats,
+)
+
+GAP = 172800.0  # session gap (seconds): 2 days — yields multi-event sessions
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(c, n=6):
+    return F.round(c, n)
+
+
+# --------------------------------------------------------------- queries
+
+def q_rolling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = with_rolling_stats(
+        ev, "value", ["user_id"], ["ts", "event_id"], preceding=4,
+        stats=("mean", "std", "min", "max", "sum"),
+    )
+    return df.select(
+        "event_id", "user_id",
+        _r("value_roll_mean").alias("roll_mean"),
+        _r("value_roll_std").alias("roll_std"),
+        F.col("value_roll_min").alias("roll_min"),
+        F.col("value_roll_max").alias("roll_max"),
+        _r("value_roll_sum").alias("roll_sum"),
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = with_lag_lead(ev, "value", ["user_id"], ["ts", "event_id"], offsets=(1, 3))
+    return df.select(
+        "event_id", "user_id",
+        "value_lag_1", "value_lead_1", "value_lag_3", "value_lead_3",
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, ["user_id"], "ts", GAP).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", GAP)
+    agg = session_stats(s, ["user_id"], "ts", "value")
+    return agg.select(
+        "user_id", "session_id", "session_len", "session_start", "session_end",
+        _r("session_sum").alias("session_sum"),
+        _r("session_mean").alias("session_mean"),
+    )
+
+
+def q_forward_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "purchase_val",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    df = forward_fill(ev, "purchase_val", ["user_id"], "ts", out="purchase_ffill")
+    return df.select("event_id", "user_id", "purchase_ffill")
+
+
+def q_dist_to_boundary(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = distance_to_boundary(
+        ev, F.col("event_type") == "error", ["user_id"], "ts", out="dist_err"
+    )
+    return df.select("event_id", "user_id", "dist_err")
+
+
+def _purchases(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+def _errors(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "ts", F.col("value").alias("err_value"))
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    return asof_join(
+        _purchases(spark, sf_dir), _errors(spark, sf_dir),
+        keys=["user_id"], probe_ts="ts", build_ts="ts", values=["err_value"],
+    ).select("event_id", "user_id", "ts", "value", "err_value")
+
+
+def q_asof_join_salted(spark, sf_dir):
+    return asof_join(
+        _purchases(spark, sf_dir), _errors(spark, sf_dir),
+        keys=["user_id"], probe_ts="ts", build_ts="ts", values=["err_value"],
+        salt=8,
+    ).select("event_id", "user_id", "ts", "value", "err_value")
+
+
+def q_asof_join_cogroup(spark, sf_dir):
+    return asof_join(
+        _purchases(spark, sf_dir), _errors(spark, sf_dir),
+        keys=["user_id"], probe_ts="ts", build_ts="ts", values=["err_value"],
+        strategy="cogroup",
+    ).select("event_id", "user_id", "ts", "value", "err_value")
+
+
+def q_asof_tolerance(spark, sf_dir):
+    b = _errors(spark, sf_dir).withColumn("err_ts", F.col("ts"))
+    out = asof_join(
+        _purchases(spark, sf_dir), b,
+        keys=["user_id"], probe_ts="ts", build_ts="ts",
+        values=["err_value", "err_ts"],
+    )
+    stale = (epoch_seconds("ts") - epoch_seconds("err_ts")) > 900
+    return out.select(
+        "event_id", "user_id",
+        F.when(stale, F.lit(None)).otherwise(F.col("err_value")).alias("err_value_tol"),
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value, b.value AS err_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') b
+  ON p.user_id = b.user_id AND p.ts >= b.ts
+"""
+
+
+def q_six_stat(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = six_stat_agg(li, ["l_quantity"], ["l_returnflag", "l_linestatus"])
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        _r("l_quantity_sum").alias("qty_sum"),
+        _r("l_quantity_mean").alias("qty_mean"),
+        _r("l_quantity_std").alias("qty_std"),
+        _r("l_quantity_median").alias("qty_median"),
+        F.col("l_quantity_min").alias("qty_min"),
+        F.col("l_quantity_max").alias("qty_max"),
+    )
+
+
+def q_six_stat_hierarchy(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = six_stat_hierarchy(li, ["l_quantity"], "l_returnflag", "l_linestatus")
+    return agg.select(
+        "l_returnflag", "l_linestatus", "grouping_level",
+        _r("l_quantity_sum").alias("qty_sum"),
+        _r("l_quantity_mean").alias("qty_mean"),
+        _r("l_quantity_std").alias("qty_std"),
+        _r("l_quantity_median").alias("qty_median"),
+    )
+
+
+def q_weighted_mean(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_mean(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"], out="wmean"
+    ).select("l_returnflag", _r("wmean").alias("wmean"))
+
+
+def q_masked_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = masked_mean_std(
+        ev, "value", ["event_type"],
+        {"high": F.col("value") > 10, "low": F.col("value") <= 10},
+    )
+    return agg.select(
+        "event_type",
+        _r("high_mean").alias("high_mean"), _r("high_std").alias("high_std"),
+        _r("low_mean").alias("low_mean"), _r("low_std").alias("low_std"),
+    )
+
+
+def q_global_threshold(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = global_quantile_threshold(ev, "value", 0.5)
+    return ev.filter(F.col("value") > t).select("event_id", "value")
+
+
+def q_percent_rank(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return with_percent_rank(ev, "value", ["user_id"], out="pct_rank").select(
+        "event_id", "user_id", _r("pct_rank").alias("pct_rank")
+    )
+
+
+def q_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return topk_per_entity(
+        ev, ["user_id"],
+        [F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()],
+        k=3,
+    ).select("user_id", "event_id", "value", "rank")
+
+
+def q_last_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return last_wins(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_dim_join(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    j = broadcast_equi_join(
+        cu, na, cu["c_nationkey"] == na["n_nationkey"]
+    )
+    j = broadcast_equi_join(j, re, j["n_regionkey"] == re["r_regionkey"])
+    return j.groupBy("r_name").agg(
+        F.count("*").alias("n_cust"),
+        _r(F.avg("c_acctbal")).alias("avg_bal"),
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").alias("win_start"),
+        F.date_add(F.col("o_orderdate"), 90).cast("timestamp").alias("win_end"),
+    )
+    j = interval_overlap_join(
+        li, orders, ["l_orderkey"], "l_shipdate", "win_start", "win_end"
+    )
+    return j.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        _r(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], [F.col("doc_id").asc()]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, block_col="lang"
+    ).select("id_a", "id_b", _r("jaccard_sim").alias("jaccard_sim"))
+
+
+def q_minhash_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.05
+    ).select("id_a", "id_b", _r("jaccard_sim").alias("jaccard_sim"))
+
+
+def q_simhash_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "doc_id", "text", max_hamming=16, ngram=2)
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select("query_id", "vec_id", _r("cos_sim").alias("cos_sim"), "rank")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from combinedfeatureextraction_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, block_col="label"
+    ).select("id_a", "id_b", _r("cos_sim").alias("cos_sim"))
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, bits=6, tables=4)
+
+
+def q_payload_passthrough(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding", "label")
+
+
+def q_payload_sum(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        _r(payload_sum("embedding")).alias("emb_sum"),
+        F.array_min("embedding").alias("emb_min"),
+        F.array_max("embedding").alias("emb_max"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.n_words("text").alias("n_words"),
+        X.token_count("text").alias("n_tokens"),
+        _r(X.punct_ratio("text")).alias("punct_ratio"),
+        _r(X.stopword_ratio("text")).alias("stop_ratio"),
+        _r(X.mean_word_len("text")).alias("mean_word_len"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over a skewed key: partial per
+    (key, salt) then merge — identical result to plain groupBy (the
+    oracle), bounded partitions at scale."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16))
+    )
+    partial = li.groupBy("l_returnflag", "_salt").agg(
+        F.sum("l_quantity").alias("s"), F.count("*").alias("n")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        _r(F.sum("s")).alias("sum_qty"),
+        F.sum("n").alias("n_rows"),
+    )
+
+
+def q_component_count(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", GAP)
+    return component_count(s, ["user_id"])
+
+
+def q_sessions_filtered(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", GAP)
+    return drop_small_sessions(s, ["user_id"], min_rows=5).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def q_rebase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("tsd", epoch_seconds("ts"))
+    return with_rebased_order(ev, "tsd", ["user_id"], out="secs_since_start").select(
+        "event_id", "user_id", "secs_since_start"
+    )
+
+
+def q_otsu(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = otsu_threshold(ev, "value", bins=64)
+    return ev.filter(F.col("value") > t).select("event_id", "value")
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Structured-Streaming gap sessions (session_window + watermark),
+    driven with availableNow over the same parquet → identical result to
+    the batch oracle."""
+    from combinedfeatureextraction_spark.streaming.sessions import (
+        streaming_session_agg,
+    )
+    ev_schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # parquet µs timestamps arrive as TIMESTAMP_NTZ; event-time
+        # semantics need TIMESTAMP (lossless under the UTC session tz)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = streaming_session_agg(
+        stream, ["user_id"], "ts", "value", gap="2 days", watermark="0 seconds"
+    )
+    name = "cfe_stream_sessions"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_len",
+        _r("session_sum").alias("session_sum"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as opaque binary payload
+    → mapInPandas decode(stub)+featurize (rows-only check: decode libs are
+    stubbed deterministically)."""
+    from combinedfeatureextraction_spark.multimodal.binary import (
+        extract_media_features,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(0).alias("width"), F.lit(0).alias("height"),
+            F.lit(0).alias("n_frames"), F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    out = extract_media_features(media, decode="fake")
+    return out.select(
+        "media_id", "byte_len", _r("byte_mean").alias("byte_mean"),
+        _r("byte_std").alias("byte_std"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rolling_window": q_rolling_window,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "forward_fill": q_forward_fill,
+        "dist_to_boundary": q_dist_to_boundary,
+        "asof_join": q_asof_join,
+        "asof_join_salted": q_asof_join_salted,
+        "asof_join_cogroup": q_asof_join_cogroup,
+        "asof_tolerance": q_asof_tolerance,
+        "six_stat": q_six_stat,
+        "six_stat_hierarchy": q_six_stat_hierarchy,
+        "weighted_mean": q_weighted_mean,
+        "masked_mean": q_masked_mean,
+        "global_threshold": q_global_threshold,
+        "percent_rank": q_percent_rank,
+        "topk": q_topk,
+        "last_event": q_last_event,
+        "dim_join": q_dim_join,
+        "interval_join": q_interval_join,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_topk": q_lsh_topk,
+        "payload_passthrough": q_payload_passthrough,
+        "payload_sum": q_payload_sum,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "salted_agg": q_salted_agg,
+        "component_count": q_component_count,
+        "sessions_filtered": q_sessions_filtered,
+        "rebase": q_rebase,
+        "otsu": q_otsu,
+        "streaming_sessions": q_streaming_sessions,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_SESSION_ID_SQL = f"""
+    SELECT *,
+      CAST(sum(CASE WHEN gap_prev IS NULL OR gap_prev > {GAP} THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+        AS session_id
+    FROM (
+      SELECT *,
+        epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+          AS gap_prev
+      FROM events
+    )
+"""
+
+_QUALITY_SQL = """
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_words,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]+')) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+      / length(text) AS pr,
+    CAST(len(list_filter(string_split(text, ' '),
+         w -> w IN ('the','a','of','to','and','in','is','it','for','on'))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS sw,
+    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      / len(string_split(text, ' ')) AS wl
+  FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rolling_window": """
+SELECT event_id, user_id,
+  round(avg(value) OVER w, 6) AS roll_mean,
+  round(stddev_pop(value) OVER w, 6) AS roll_std,
+  min(value) OVER w AS roll_min,
+  max(value) OVER w AS roll_max,
+  round(sum(value) OVER w, 6) AS roll_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "lag_lead": """
+SELECT event_id, user_id,
+  lag(value, 1)  OVER w AS value_lag_1,
+  lead(value, 1) OVER w AS value_lead_1,
+  lag(value, 3)  OVER w AS value_lag_3,
+  lead(value, 3) OVER w AS value_lead_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "sessionize": f"SELECT event_id, user_id, session_id FROM ({_SESSION_ID_SQL})",
+        "session_stats": f"""
+SELECT user_id, session_id,
+  count(*) AS session_len,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  round(sum(value), 6) AS session_sum,
+  round(avg(value), 6) AS session_mean
+FROM ({_SESSION_ID_SQL})
+GROUP BY user_id, session_id
+""",
+        "forward_fill": """
+SELECT event_id, user_id,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ffill
+FROM events
+""",
+        "dist_to_boundary": """
+SELECT event_id, user_id,
+  least(coalesce(d_prev, d_next), coalesce(d_next, d_prev)) AS dist_err
+FROM (
+  SELECT event_id, user_id,
+    epoch(ts) - last_value(CASE WHEN event_type='error' THEN epoch(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+    first_value(CASE WHEN event_type='error' THEN epoch(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - epoch(ts) AS d_next
+  FROM events
+)
+""",
+        "asof_join": _ASOF_SQL,
+        "asof_join_salted": _ASOF_SQL,
+        "asof_join_cogroup": _ASOF_SQL,
+        "asof_tolerance": """
+SELECT p.event_id, p.user_id,
+  CASE WHEN epoch(p.ts) - epoch(b.ts) > 900 THEN NULL ELSE b.value END
+    AS err_value_tol
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='error') b
+  ON p.user_id = b.user_id AND p.ts >= b.ts
+""",
+        "six_stat": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 6) AS qty_sum,
+  round(avg(l_quantity), 6) AS qty_mean,
+  round(stddev_pop(l_quantity), 6) AS qty_std,
+  round(CAST(median(l_quantity) AS DOUBLE), 6) AS qty_median,
+  min(l_quantity) AS qty_min,
+  max(l_quantity) AS qty_max
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "six_stat_hierarchy": """
+SELECT l_returnflag, l_linestatus,
+  CAST(grouping(l_linestatus) AS INT) AS grouping_level,
+  round(sum(l_quantity), 6) AS qty_sum,
+  round(avg(l_quantity), 6) AS qty_mean,
+  round(stddev_pop(l_quantity), 6) AS qty_std,
+  round(CAST(median(l_quantity) AS DOUBLE), 6) AS qty_median
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+""",
+        "weighted_mean": """
+SELECT l_returnflag,
+  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean
+FROM lineitem GROUP BY l_returnflag
+""",
+        "masked_mean": """
+SELECT event_type,
+  round(coalesce(avg(value)        FILTER (value > 10), 0), 6) AS high_mean,
+  round(coalesce(stddev_pop(value) FILTER (value > 10), 0), 6) AS high_std,
+  round(coalesce(avg(value)        FILTER (value <= 10), 0), 6) AS low_mean,
+  round(coalesce(stddev_pop(value) FILTER (value <= 10), 0), 6) AS low_std
+FROM events GROUP BY event_type
+""",
+        "global_threshold": """
+SELECT event_id, value FROM events
+WHERE value > (SELECT CAST(median(value) AS DOUBLE) FROM events)
+""",
+        "percent_rank": """
+SELECT event_id, user_id,
+  round(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6) AS pct_rank
+FROM events
+""",
+        "topk": """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, ts ASC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+""",
+        "last_event": """
+SELECT user_id, last_event_type, last_value FROM (
+  SELECT user_id, event_type AS last_event_type, value AS last_value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "dim_join": """
+SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 6) AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "interval_join": """
+SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  AND l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY l_orderkey
+""",
+        "exact_dedup": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+        "ngram_jaccard": """
+WITH sh AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+      i -> string_split(text,' ')[i] || ' ' ||
+           string_split(text,' ')[i+1] || ' ' ||
+           string_split(text,' ')[i+2]
+    )) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+    AS jaccard_sim
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+""",
+        "embedding_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(list_zip(e.embedding, q.qe),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    AS cs
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "embedding_near_dup": """
+WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+  6) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+    >= 0.3
+""",
+        "payload_passthrough": "SELECT vec_id, embedding, label FROM embeddings",
+        "payload_sum": """
+SELECT vec_id,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS emb_sum,
+  list_min(embedding) AS emb_min,
+  list_max(embedding) AS emb_max
+FROM embeddings
+""",
+        "text_quality": f"""
+SELECT doc_id, n_words, n_tokens,
+  round(pr, 6) AS punct_ratio,
+  round(sw, 6) AS stop_ratio,
+  round(wl, 6) AS mean_word_len,
+  round(least(sw * 4, 1.0) * 0.4
+        + (1.0 - least(pr * 5, 1.0)) * 0.3
+        + (1.0 - least(abs(wl - 5.0) / 5.0, 1.0)) * 0.3, 6) AS quality
+FROM ({_QUALITY_SQL})
+""",
+        "lang_id": """
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das','nicht'))) AS DOUBLE) / len(string_split(text,' ')) AS s_de,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','in'))) AS DOUBLE) / len(string_split(text,' ')) AS s_en,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y'))) AS DOUBLE) / len(string_split(text,' ')) AS s_es,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','des'))) AS DOUBLE) / len(string_split(text,' ')) AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s
+""",
+        "fingerprint": """
+SELECT doc_id,
+  list_sum(list_transform(string_split(text, ' '),
+           (w, i) -> (CAST(ascii(w) AS BIGINT) * i) % 1000000007)) % 1000000007 AS fp
+FROM documents
+""",
+        "salted_agg": """
+SELECT l_returnflag, round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+        "component_count": f"""
+SELECT user_id, count(DISTINCT session_id) AS n_sessions
+FROM ({_SESSION_ID_SQL}) GROUP BY user_id
+""",
+        "sessions_filtered": f"""
+SELECT event_id, user_id, session_id FROM (
+  SELECT event_id, user_id, session_id,
+    count(*) OVER (PARTITION BY user_id, session_id) AS n
+  FROM ({_SESSION_ID_SQL})
+) WHERE n >= 5
+""",
+        "rebase": """
+SELECT event_id, user_id,
+  epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS secs_since_start
+FROM events
+""",
+        "streaming_sessions": f"""
+SELECT user_id, min(ts) AS session_start, count(*) AS session_len,
+  round(sum(value), 6) AS session_sum
+FROM (
+  SELECT *,
+    sum(CASE WHEN gap_prev IS NULL OR gap_prev >= {GAP} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT *, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_prev
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+""",
+        # minhash_dedup / simhash_dedup / lsh_topk / otsu / media_features:
+        # intentionally no oracle (xxhash64 / LSH randomness / stubbed codec
+        # are not ANSI-SQL-expressible) → driver rows-only check.
+    }
+
+
+# ---------------------------------------------------------------- entry
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the full point-in-time feature vector over events sf0.001
+    — lag/lead + rolling stats + sessionization + distance-to-boundary +
+    forward-fill + as-of joined error state, in one lineage (one window
+    shuffle on user_id + the as-of union-merge)."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _t(spark, sf_dir, "events")
+    df = with_lag_lead(ev, "value", ["user_id"], ["ts", "event_id"], offsets=(1,))
+    df = with_rolling_stats(
+        df, "value", ["user_id"], ["ts", "event_id"], preceding=4,
+        stats=("mean", "std", "min", "max"),
+    )
+    df = sessionize(df, ["user_id"], "ts", GAP)
+    df = df.withColumnRenamed("_gap_prev", "gap_prev")
+    df = distance_to_boundary(
+        df, F.col("event_type") == "error", ["user_id"], "ts", out="dist_err"
+    )
+    df = df.withColumn(
+        "purchase_val",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    df = forward_fill(df, "purchase_val", ["user_id"], "ts", out="purchase_ffill")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", F.col("value").alias("asof_err_value"))
+    )
+    df = asof_join(
+        df, errors, keys=["user_id"], probe_ts="ts", build_ts="ts",
+        values=["asof_err_value"],
+    )
+    return df.drop("purchase_val")

@@ -79,12 +79,18 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 6)
 
 
+def _in_set(stopwords):
+    # arity-1 closure: a `lambda w, s=sw:` default arg would make PySpark
+    # treat it as the 2-arg (element, index) lambda form
+    return lambda w: w.isin(*stopwords)
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword hit-rate — the n-gram language-ID heuristic."""
     ws = words(col)
     n = F.size(ws)
     return {
-        lang: F.size(F.filter(ws, lambda w, s=sw: w.isin(*s))).cast("double") / n
+        lang: F.size(F.filter(ws, _in_set(sw))).cast("double") / n
         for lang, sw in LANG_STOPWORDS.items()
     }
 

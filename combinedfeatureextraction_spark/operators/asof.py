@@ -40,6 +40,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from combinedfeatureextraction_spark.functions.timeutil import epoch_seconds
+
 _TAG = "__cfe_tag"
 _SALT = "__cfe_salt"
 
@@ -102,7 +104,7 @@ def _asof_union(
         *keys,
         F.col(build_ts).alias(ts_col),
         F.lit(build_tag).alias(_TAG),
-        F.col(build_ts).cast("double").alias(matched_ts),
+        epoch_seconds(build_ts).alias(matched_ts),
         *[F.col(v) for v in values],
     )
     # carry probe payload columns as nulls on the build side and vice versa
@@ -158,7 +160,7 @@ def _asof_union(
     out = out.withColumn(matched_ts, filled_ts)
     out = out.filter(F.col(_TAG) == probe_tag)
     if tolerance_seconds is not None:
-        stale = (F.col(ts_col).cast("double") - F.col(matched_ts)) > F.lit(
+        stale = (epoch_seconds(ts_col) - F.col(matched_ts)) > F.lit(
             float(tolerance_seconds)
         )
         for v in values:

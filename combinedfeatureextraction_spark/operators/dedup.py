@@ -101,16 +101,31 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- minhash
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """array<long> of length num_hashes: min over shingles of
-    xxhash64(shingle, seed_i). Pure projection — no explode, no shuffle."""
-    return F.array(
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, _sig array<long>): min over shingles of xxhash64(shingle, i).
+
+    Shape: explode shingles → num_hashes narrow min-aggregates → one
+    groupBy(id) shuffle with full map-side combine. (A nested-lambda
+    array-fold formulation is shuffle-free but builds a 32-transform
+    Catalyst tree that falls out of codegen — measured ~50× slower.)"""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, n)).alias("_s"),
+    )
+    mins = ex.groupBy("_id").agg(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
+    )
+    return mins.select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -126,10 +141,7 @@ def minhash_lsh_candidates(
     rows; pairs sharing any band bucket are candidates. Only (id, band,
     band_hash) tuples shuffle. Output: distinct (id_a, id_b)."""
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(text_col, n), num_hashes).alias("_sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_rows = sig.select(
         "_id",
         F.explode(
@@ -189,31 +201,39 @@ def minhash_lsh_dedup(
 
 # -------------------------------------------------------------- simhash
 
-def simhash64(col: Column | str, ngram: int = 2) -> Column:
-    """64-bit SimHash of the word n-gram stream: per bit, the sign of
-    Σ_shingles (±1). Array-side fold over bit positions via weighted sums:
-    bit_i = Σ_s ((hash(s)>>i)&1 ? 1 : -1) > 0. Pure projection."""
-    sh = word_shingles(col, ngram)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bit_exprs = []
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 2,
+) -> DataFrame:
+    """(id, _sig long): 64-bit SimHash — per bit, sign of Σ_shingles (±1).
+
+    Same explode → groupBy shape as minhash_signatures: 64 narrow
+    conditional sums with map-side combine, then the signature is
+    assembled from the bit sums in one projection."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, ngram)).alias("_s"),
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    sums = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
     for i in range(64):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
         )
-        bit_exprs.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out.bitwiseOR(e)
-    return out
+    return sums.select("_id", sig.alias("_sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -230,9 +250,7 @@ def simhash_dedup(
     """Near-dup pairs by SimHash: band on 4×16-bit chunks (a pair within
     hamming ≤ 3 of 64 bits must agree on ≥1 chunk — pigeonhole), verify
     with exact hamming. Output: (id_a, id_b, hamming)."""
-    sigs = df.select(
-        F.col(id_col).alias("_id"), simhash64(text_col, ngram).alias("_sig")
-    )
+    sigs = simhash_signatures(df, id_col, text_col, ngram)
     chunks = sigs.select(
         "_id",
         "_sig",

@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from combinedfeatureextraction_spark.functions.timeutil import epoch_seconds
+
 
 def forward_fill(
     df: DataFrame,
@@ -68,7 +70,7 @@ def distance_to_boundary(
     for two_sided). 1-D distance transform (W2): forward-fill the boundary
     ts, mirror with a backward fill, take the least non-null.
     """
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(ts)
     b_ts = F.when(boundary, t)
     w_fwd = (
         Window.partitionBy(*keys).orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)

@@ -19,6 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from combinedfeatureextraction_spark.functions.timeutil import epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -33,7 +35,7 @@ def sessionize(
     8-connectivity labeling where adjacent pixels are one component).
     """
     w = Window.partitionBy(*keys).orderBy(ts)
-    gap_prev = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double"), 1).over(w)
+    gap_prev = epoch_seconds(ts) - F.lag(epoch_seconds(ts), 1).over(w)
     boundary = F.when(
         gap_prev.isNull() | (gap_prev > F.lit(float(gap_seconds))), F.lit(1)
     ).otherwise(F.lit(0))
