@@ -321,9 +321,19 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    """MinHash+LSH near-dup detection with planted duplicates: every doc
+    gets a mutated twin (last word dropped → trigram jaccard ≈ 1), and the
+    LSH (num_hashes=64, bands=16 → r=4, threshold* ≈ 0.5) must recover the
+    planted pairs while background pairs (jaccard ≲ 0.1 in this corpus)
+    produce almost no candidates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
     return minhash_lsh_dedup(
-        docs, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.05
+        corpus, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
     ).select("id_a", "id_b", _r("jaccard_sim").alias("jaccard_sim"))
 
 

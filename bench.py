@@ -1,0 +1,125 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Each query is materialized with a noop write (full execution, no driver
+collect). The flagship feature-materialization throughput (rows/sec over
+the events point-in-time pipeline) is reported alongside, since BASELINE
+targets sequences/sec. Run scripts/scaling_run.py for the N-vs-4N-cores
+scaling-efficiency evidence (results recorded in BASELINE.md / BENCH).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from combinedfeatureextraction_spark.session import get_spark
+
+    spark = get_spark(app_name="cfe_bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    qs = entrymod.queries()
+    headline = [
+        # the north-rule core
+        "rolling_window", "lag_lead", "sessionize", "session_stats",
+        "forward_fill", "dist_to_boundary",
+        "asof_join", "asof_join_salted", "asof_join_cogroup",
+        "six_stat_hierarchy", "weighted_mean", "interval_join",
+        "percent_rank", "topk",
+        # training-data ops
+        "exact_dedup", "minhash_dedup", "simhash_dedup",
+        "embedding_topk", "text_quality", "fingerprint", "salted_agg",
+    ]
+    # warm the JVM/parquet footer caches once with a trivial action
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship throughput: full point-in-time feature vector over events
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_rows = ev.count()
+    t0 = time.time()
+    flag = _flagship(entrymod, spark, SF_DIR)
+    materialize(flag)
+    flagship_sec = time.time() - t0
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": CPUS,
+        "flagship_rows": n_rows,
+        "flagship_rows_per_sec": round(n_rows / flagship_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+def _flagship(entrymod, spark, sf_dir):
+    """entry()'s pipeline but parameterized by sf_dir."""
+    from pyspark.sql import functions as F
+
+    from combinedfeatureextraction_spark.operators.asof import asof_join
+    from combinedfeatureextraction_spark.operators.fill import (
+        distance_to_boundary,
+        forward_fill,
+    )
+    from combinedfeatureextraction_spark.operators.sessionize import sessionize
+    from combinedfeatureextraction_spark.operators.window_features import (
+        with_lag_lead,
+        with_rolling_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = with_lag_lead(ev, "value", ["user_id"], ["ts", "event_id"], offsets=(1,))
+    df = with_rolling_stats(
+        df, "value", ["user_id"], ["ts", "event_id"], preceding=4,
+        stats=("mean", "std", "min", "max"),
+    )
+    df = sessionize(df, ["user_id"], "ts", entrymod.GAP)
+    df = df.withColumnRenamed("_gap_prev", "gap_prev")
+    df = distance_to_boundary(
+        df, F.col("event_type") == "error", ["user_id"], "ts", out="dist_err"
+    )
+    df = df.withColumn(
+        "purchase_val",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    df = forward_fill(df, "purchase_val", ["user_id"], "ts", out="purchase_ffill")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("asof_err_value")
+    )
+    return asof_join(
+        df, errors, keys=["user_id"], probe_ts="ts", build_ts="ts",
+        values=["asof_err_value"],
+    ).drop("purchase_val")
+
+
+if __name__ == "__main__":
+    main()

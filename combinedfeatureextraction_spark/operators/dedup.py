@@ -47,14 +47,15 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     transform over a 0..len-n index sequence."""
     c = F.col(col) if isinstance(col, str) else col
     ws = F.split(c, " ")
-    k = F.size(ws) - (n - 1)
-    # sequence(1, 0) would DESCEND in Spark — guard short docs explicitly
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)])
-    )
+    k = F.size(ws) - (n - 1)  # number of shingles
+    # Build by zipping shifted slices — NOT by indexing inside a transform
+    # lambda: an outer expression referenced inside a lambda is re-evaluated
+    # per element, turning shingling O(words²) per row (measured 20s+ for
+    # 10k docs). Zipped slices evaluate split() only ~n times per row.
+    sh = F.slice(ws, 1, F.greatest(k, F.lit(0)))
+    for j in range(1, n):
+        nxt = F.slice(ws, 1 + j, F.greatest(k, F.lit(0)))
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(sh)
 
 
@@ -101,26 +102,43 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- minhash
 
-def minhash_signatures(
+def hashed_shingle_sets(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """(_id, _sh array<long>): distinct word-n-gram shingles hashed to
+    64-bit longs — the shared base for signatures AND verification.
+    Persisted by default because every downstream consumer (signature agg,
+    both sides of the verify join) reuses it; at corpus scale you would
+    materialize this to a table once per snapshot."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(text_col, n)).alias("_s"),
+        )
+        .select("_id", F.xxhash64("_s").alias("_h"))
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_sh"))
+    )
+    return sh.persist() if persist else sh
+
+
+def minhash_signatures_from_sets(
+    sh: DataFrame,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """(id, _sig array<long>): min over shingles of xxhash64(shingle, i).
-
-    Shape: explode shingles → num_hashes narrow min-aggregates → one
-    groupBy(id) shuffle with full map-side combine. (A nested-lambda
-    array-fold formulation is shuffle-free but builds a 32-transform
-    Catalyst tree that falls out of codegen — measured ~50× slower.)"""
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, n)).alias("_s"),
-    )
+    """(_id, _sig array<long>): min over hashed shingles of
+    xxhash64(h, i). Explode of a long array (cheap) → num_hashes narrow
+    min-aggregates with full map-side combine. (A nested-lambda array-fold
+    formulation is shuffle-free but builds a Catalyst tree that falls out
+    of codegen — measured ~50x slower.)"""
+    ex = sh.select("_id", F.explode("_sh").alias("_h"))
     mins = ex.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -129,19 +147,29 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
+) -> DataFrame:
+    return minhash_signatures_from_sets(
+        hashed_shingle_sets(df, id_col, text_col, n, persist=False), num_hashes
+    )
+
+
+def minhash_lsh_candidates_from_sets(
+    sh: DataFrame,
+    num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """LSH candidate pairs: signature → ``bands`` bands of r=num_hashes/bands
-    rows; pairs sharing any band bucket are candidates. Only (id, band,
-    band_hash) tuples shuffle. Output: distinct (id_a, id_b)."""
+    """LSH candidate pairs from hashed shingle sets: signature → ``bands``
+    bands of r=num_hashes/bands rows; pairs sharing any band bucket are
+    candidates. Only (id, band, band_hash) tuples shuffle — never documents.
+    Output: distinct (id_a, id_b)."""
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures_from_sets(sh, num_hashes)
     band_rows = sig.select(
         "_id",
         F.explode(
@@ -150,13 +178,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[bi * r + j].cast("string")
-                                    for j in range(r)
-                                ],
-                            )
+                            *[F.col("_sig")[bi * r + j] for j in range(r)]
                         ).alias("bh"),
                     )
                     for bi in range(bands)
@@ -164,9 +186,7 @@ def minhash_lsh_candidates(
             )
         ).alias("b"),
     ).select("_id", "b.band", "b.bh")
-    left = band_rows.select(
-        F.col("_id").alias("id_a"), "band", "bh"
-    )
+    left = band_rows.select(F.col("_id").alias("id_a"), "band", "bh")
     right = band_rows.select(F.col("_id").alias("id_b"), "band", "bh")
     return (
         left.join(right, ["band", "bh"])
@@ -186,17 +206,26 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Candidates → exact-Jaccard verification → confirmed near-dup pairs
-    (id_a, id_b, jaccard_sim). Verification joins shingle sets back by id
-    (documents shuffle once, by id, not all-pairs)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("_sh"))
-    return (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+    (id_a, id_b, jaccard_sim).
+
+    The hashed shingle sets are computed ONCE (persisted) and feed both
+    the signature/banding stage and the two sides of the verify join;
+    jaccard runs over long arrays (collision probability ~n²/2⁶⁴,
+    negligible). Documents shuffle once, by id — never all-pairs."""
+    sh = hashed_shingle_sets(df, id_col, text_col, n, persist=True)
+    cands = minhash_lsh_candidates_from_sets(sh, num_hashes, bands)
+    out = (
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a"
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b"
+        )
         .withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    return out
 
 
 # -------------------------------------------------------------- simhash
