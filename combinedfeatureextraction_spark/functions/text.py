@@ -48,18 +48,19 @@ def token_count(col: Column | str) -> Column:
 def stopword_ratio(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
     ws = words(col)
     hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
-    return hits.cast("double") / F.size(ws)
+    # try_divide: NULL (not an ANSI error) on degenerate/empty input
+    return F.try_divide(hits.cast("double"), F.size(ws))
 
 
 def punct_ratio(col: Column | str) -> Column:
     c = _c(col)
     stripped = F.regexp_replace(c, r"[^A-Za-z0-9\s]", "")
-    return (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+    return F.try_divide((F.length(c) - F.length(stripped)).cast("double"), F.length(c))
 
 
 def mean_word_len(col: Column | str) -> Column:
     c = _c(col)
-    return (F.length(c) - (n_words(c) - 1)).cast("double") / n_words(c)
+    return F.try_divide((F.length(c) - (n_words(c) - 1)).cast("double"), n_words(c))
 
 
 def quality_score(col: Column | str) -> Column:
@@ -90,7 +91,7 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     ws = words(col)
     n = F.size(ws)
     return {
-        lang: F.size(F.filter(ws, _in_set(sw))).cast("double") / n
+        lang: F.try_divide(F.size(F.filter(ws, _in_set(sw))).cast("double"), n)
         for lang, sw in LANG_STOPWORDS.items()
     }
 

@@ -1,0 +1,251 @@
+"""Hand-built-frame unit tests for individual operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_sessionize_gaps(spark):
+    from combinedfeatureextraction_spark.operators.sessionize import sessionize
+
+    ts = [0, 10, 20, 100, 110, 400]
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "a", "ts": pd.to_datetime(ts, unit="s")})
+    )
+    out = (
+        sessionize(df, ["k"], "ts", gap_seconds=50)
+        .orderBy("ts")
+        .select("session_id")
+        .toPandas()["session_id"]
+        .tolist()
+    )
+    assert out == [0, 0, 0, 1, 1, 2]
+
+
+def test_sessionize_boundary_equality(spark):
+    """gap == gap_seconds does NOT split (strictly-greater semantics)."""
+    from combinedfeatureextraction_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "a", "ts": pd.to_datetime([0, 50], unit="s")})
+    )
+    out = sessionize(df, ["k"], "ts", 50).select("session_id").toPandas()
+    assert sorted(out["session_id"]) == [0, 0]
+
+
+def test_forward_backward_fill(spark):
+    from combinedfeatureextraction_spark.operators.fill import (
+        backward_fill,
+        forward_fill,
+    )
+
+    rows = [
+        ("a", 1, None),
+        ("a", 2, 5.0),
+        ("a", 3, None),
+        ("a", 4, None),
+        ("a", 5, 7.0),
+    ]
+    df = _df(spark, rows, "k string, ts int, v double")
+    out = forward_fill(df, "v", ["k"], "ts", out="f")
+    out = backward_fill(out, "v", ["k"], "ts", out="b").orderBy("ts").toPandas()
+    assert np.allclose(
+        out["f"].values, [np.nan, 5.0, 5.0, 5.0, 7.0], equal_nan=True
+    )
+    assert np.allclose(out["b"].values, [5.0, 5.0, 7.0, 7.0, 7.0])
+
+
+def test_distance_to_boundary_two_sided(spark):
+    from combinedfeatureextraction_spark.operators.fill import distance_to_boundary
+
+    rows = [("a", 0, 1), ("a", 10, 0), ("a", 30, 0), ("a", 100, 1), ("a", 130, 0)]
+    df = _df(spark, rows, "k string, ts int, b int")
+    out = (
+        distance_to_boundary(df, F.col("b") == 1, ["k"], "ts", out="d")
+        .orderBy("ts")
+        .toPandas()["d"]
+        .tolist()
+    )
+    assert out == [0.0, 10.0, 30.0, 0.0, 30.0]
+
+
+def test_asof_strategies_match(spark):
+    from combinedfeatureextraction_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    probe = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y", "z"], 200),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, 200), unit="s"),
+            "pid": np.arange(200),
+        }
+    )
+    build = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y"], 50),  # z has no build rows
+            "ts": pd.to_datetime(rng.integers(0, 10_000, 50), unit="s"),
+            "v": rng.normal(size=50),
+        }
+    )
+    p = spark.createDataFrame(probe)
+    b = spark.createDataFrame(build)
+    base = (
+        asof_join(p, b, ["k"], "ts", "ts", ["v"])
+        .orderBy("pid")
+        .toPandas()["v"]
+        .values
+    )
+    for kwargs in ({"strategy": "cogroup"}, {"salt": 5}, {"salt": 3}):
+        other = (
+            asof_join(p, b, ["k"], "ts", "ts", ["v"], **kwargs)
+            .orderBy("pid")
+            .toPandas()["v"]
+            .values
+        )
+        assert np.allclose(base, other, equal_nan=True), kwargs
+    # pandas reference
+    want = pd.merge_asof(
+        probe.sort_values("ts", kind="mergesort"),
+        build.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("pid")["v"].values
+    assert np.allclose(base, want, equal_nan=True)
+
+
+def test_asof_rejects_unknown_strategy(spark):
+    from combinedfeatureextraction_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([("a", 1)], "k string, ts int")
+    with pytest.raises(ValueError):
+        asof_join(df, df, ["k"], strategy="nope")
+
+
+def test_last_wins_and_cascade(spark):
+    from combinedfeatureextraction_spark.operators.priority import (
+        last_wins,
+        priority_cascade,
+    )
+
+    rows = [("a", 1, "low"), ("a", 9, "high"), ("b", 5, "only")]
+    df = _df(spark, rows, "k string, prio int, tag string")
+    out = last_wins(df, ["k"], [F.col("prio").desc()]).orderBy("k").toPandas()
+    assert out["tag"].tolist() == ["high", "only"]
+
+    casc = df.select(
+        priority_cascade(
+            [(F.col("prio") > 8, F.lit("hot")), (F.col("prio") > 3, F.lit("warm"))],
+            F.lit("cold"),
+        ).alias("c")
+    ).toPandas()["c"]
+    assert sorted(casc) == ["cold", "hot", "warm"]
+
+
+def test_six_stat_matches_numpy(spark):
+    from combinedfeatureextraction_spark.operators.aggregates import six_stat_agg
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"g": rng.choice(["p", "q"], 500), "x": rng.normal(10, 4, 500)}
+    )
+    out = (
+        six_stat_agg(spark.createDataFrame(pdf), ["x"], ["g"])
+        .orderBy("g")
+        .toPandas()
+        .set_index("g")
+    )
+    for g, sub in pdf.groupby("g"):
+        x = sub["x"].values
+        assert np.isclose(out.loc[g, "x_sum"], x.sum())
+        assert np.isclose(out.loc[g, "x_mean"], x.mean())
+        assert np.isclose(out.loc[g, "x_std"], x.std(ddof=0))  # population!
+        assert np.isclose(out.loc[g, "x_median"], np.median(x))
+        assert np.isclose(out.loc[g, "x_min"], x.min())
+        assert np.isclose(out.loc[g, "x_max"], x.max())
+
+
+def test_otsu_matches_numpy_reference(spark):
+    from combinedfeatureextraction_spark.operators.threshold import otsu_threshold
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.normal(2, 0.5, 800), rng.normal(8, 0.5, 200)])
+    df = spark.createDataFrame(pd.DataFrame({"v": x}))
+    t = otsu_threshold(df, "v", bins=128)
+    assert 3.0 < t < 7.0  # separates the two modes
+
+
+def test_word_shingles_short_and_exact(spark):
+    from combinedfeatureextraction_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "t string"
+    )
+    out = df.select(word_shingles("t", 3).alias("s")).toPandas()["s"].tolist()
+    assert list(out[0]) == ["a b c", "b c d"]
+    assert list(out[1]) == []
+    assert list(out[2]) == []
+
+
+def test_exact_dedup_keeps_winner(spark):
+    from combinedfeatureextraction_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "same"), (2, "same"), (3, "other")]
+    df = _df(spark, rows, "id long, t string")
+    out = exact_dedup(df, ["t"], [F.col("id").asc()]).toPandas()
+    assert sorted(out["id"]) == [1, 3]
+
+
+def test_minhash_finds_planted_dup(spark):
+    from combinedfeatureextraction_spark.operators.dedup import minhash_lsh_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(1000)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(30)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # plant: doc 100 = doc 0 with one word changed
+    words = texts[0].split()
+    words[30] = "CHANGED"
+    rows.append((100, " ".join(words)))
+    df = _df(spark, rows, "id long, t string")
+    out = minhash_lsh_dedup(
+        df, "id", "t", n=3, num_hashes=64, bands=16, threshold=0.5
+    ).toPandas()
+    assert {(0, 100)} == set(zip(out["id_a"], out["id_b"]))
+
+
+def test_brute_force_topk_self_first(spark):
+    from combinedfeatureextraction_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(df, q, "vec_id", "embedding", k=3).toPandas()
+    firsts = out[out["rank"] == 1].set_index("query_id")["vec_id"]
+    assert firsts[0] == 0 and firsts[1] == 1  # self is nearest
+
+
+def test_interval_overlap_join(spark):
+    from combinedfeatureextraction_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    probe = _df(spark, [("a", 5), ("a", 15), ("b", 5)], "k string, t int")
+    iv = _df(spark, [("a", 0, 10, "w1"), ("a", 10, 20, "w2")],
+             "k string, s int, e int, tag string")
+    out = interval_overlap_join(probe, iv, ["k"], "t", "s", "e").toPandas()
+    assert sorted(zip(out["t"], out["tag"])) == [(5, "w1"), (15, "w2")]

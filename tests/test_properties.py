@@ -1,0 +1,109 @@
+"""Property tests from the bounds-catalog discipline
+(morphometrics_reference.json records min/max per feature; the reference
+coalesces NaN/Inf→0 everywhere — FeatureExtractor.py:611-614). Hypothesis
+drives the column functions through adversarial inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+TEXT = st.text(
+    alphabet=st.sampled_from("abcdefg .,!?\t"), min_size=0, max_size=80
+)
+
+
+def _one_col(spark, values, expr, name="x"):
+    df = spark.createDataFrame(pd.DataFrame({name: values}))
+    return [r[0] for r in df.select(expr).collect()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_quality_score_bounds(spark, texts):
+    from combinedfeatureextraction_spark.functions.text import quality_score
+
+    # quality must be in [0,1] or NULL (degenerate input), never NaN/Inf
+    out = _one_col(spark, texts, quality_score(F.col("x")))
+    for v in out:
+        if v is not None:
+            assert 0.0 <= v <= 1.0 and math.isfinite(v)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_lang_id_total(spark, texts):
+    from combinedfeatureextraction_spark.functions.text import (
+        LANG_STOPWORDS,
+        lang_id,
+    )
+
+    out = _one_col(spark, texts, lang_id(F.col("x")))
+    allowed = set(LANG_STOPWORDS) | {"und"}
+    assert all(v in allowed for v in out)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_nan_inf_to_zero_finite(spark, xs):
+    from combinedfeatureextraction_spark.functions.nansafe import (
+        nan_inf_to_zero,
+        safe_div,
+    )
+
+    out = _one_col(
+        spark,
+        xs + [float("nan"), float("inf"), float("-inf")],
+        nan_inf_to_zero(F.col("x")),
+    )
+    assert all(v is not None and math.isfinite(v) for v in out)
+    div = _one_col(
+        spark, xs, safe_div(F.col("x"), F.col("x") - F.col("x"))
+    )  # x/0
+    assert all(v == 0.0 for v in div)
+
+
+def test_fingerprint_order_sensitivity(spark):
+    from combinedfeatureextraction_spark.functions.text import fingerprint
+
+    a, b = "alpha beta gamma", "gamma beta alpha"
+    out = _one_col(spark, [a, b], fingerprint(F.col("x")))
+    assert out[0] != out[1]  # rolling hash is positional
+
+
+def test_shoelace_area_square(spark):
+    from combinedfeatureextraction_spark.functions.arrays import shoelace_area
+
+    pdf = pd.DataFrame(
+        {"xs": [[0.0, 4.0, 4.0, 0.0]], "ys": [[0.0, 0.0, 3.0, 3.0]]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(shoelace_area("xs", "ys").alias("a")).collect()[0]["a"]
+    assert abs(out - 12.0) < 1e-9
+
+
+def test_masked_payload_mean(spark):
+    from combinedfeatureextraction_spark.functions.arrays import (
+        masked_payload_mean,
+    )
+
+    pdf = pd.DataFrame({"t": [[1, 2, 3, 100], []]})
+    df = spark.createDataFrame(pdf)
+    out = [
+        r[0]
+        for r in df.select(
+            masked_payload_mean("t", lambda x: x < 10).alias("m")
+        ).collect()
+    ]
+    assert out[0] == 2.0 and out[1] == 0.0

@@ -1,0 +1,69 @@
+"""Checkpoint/resume: a killed run restarts at the first uncommitted
+bucket, completed buckets are skipped (partition-pruned), and re-running a
+finished run is a no-op (north-rule resumability)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from combinedfeatureextraction_spark.plans.manifest import ResumableRun
+from combinedfeatureextraction_spark.sources.catalog import (
+    BUCKET_COL,
+    current_snapshot_id,
+    read_snapshot,
+    with_bucket,
+    write_snapshot,
+)
+
+
+def test_snapshot_roundtrip(spark, seqs_df, tmp_path):
+    df = with_bucket(seqs_df, "doc_id", 8)
+    snap = write_snapshot(df, tmp_path / "tbl", partition_by=(BUCKET_COL,))
+    assert current_snapshot_id(tmp_path / "tbl") == snap
+    back = read_snapshot(spark, tmp_path / "tbl")
+    assert back.count() == seqs_df.count()
+    # bucket partition column survives for pruning
+    assert BUCKET_COL in back.columns
+
+
+def test_resume_skips_completed(spark, seqs_df, tmp_path):
+    n_buckets = 8
+    df = with_bucket(seqs_df, "doc_id", n_buckets).cache()
+    all_buckets = list(range(n_buckets))
+    out_dir = tmp_path / "out"
+
+    run = ResumableRun(out_dir, "runA")
+    # simulate a prior partial run: buckets 0-2 already committed
+    for b in (0, 1, 2):
+        run.commit_bucket(b, rows_in=0, rows_out=0, wall_ms=0.0)
+    assert run.completed_buckets() == {0, 1, 2}
+    assert run.pending_buckets(all_buckets) == [3, 4, 5, 6, 7]
+
+    writes = []
+
+    def write_fn(part):
+        rows = part.count()
+        writes.append(rows)
+        return write_snapshot(part, out_dir / "tbl", partition_by=(BUCKET_COL,))
+
+    res = run.run_pending(df, all_buckets, write_fn)
+    assert res == {"processed": 5, "skipped": 3}
+    # only pending buckets were written
+    expected = df.filter(F.col(BUCKET_COL).isin([3, 4, 5, 6, 7])).count()
+    assert writes == [expected]
+
+    # second run: everything committed → no-op, no write
+    res2 = run.run_pending(df, all_buckets, write_fn)
+    assert res2 == {"processed": 0, "skipped": 8}
+    assert len(writes) == 1
+
+    # manifests carry lineage fields
+    rec = json.loads((run.manifest_dir / "bucket=4.json").read_text())
+    assert rec["status"] == "committed"
+    assert rec["rows_in"] >= 0 and "snapshot_id" in rec
+
+    run.write_run_metrics({"wall_ms": 123.0, "rows": int(df.count())})
+    m = json.loads((run.manifest_dir / "run_metrics.json").read_text())
+    assert m["run_id"] == "runA"
