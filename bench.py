@@ -78,6 +78,22 @@ def main() -> None:
         "flagship_rows": n_rows,
         "flagship_rows_per_sec": round(n_rows / flagship_sec, 1),
     }
+    # merge the latest N-vs-4N scaling evidence (scripts/scaling_run.py)
+    scaling_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".fixtures",
+        "scaling_result.json",
+    )
+    if os.path.exists(scaling_file):
+        with open(scaling_file) as f:
+            sc = json.load(f)
+        out["scaling"] = {
+            "rows": sc["rows"],
+            "local8_rows_per_sec": sc["local8"]["rows_per_sec"],
+            "local32_rows_per_sec": sc["local32"]["rows_per_sec"],
+            "speedup_8_to_32": sc["speedup_8_to_32"],
+            "efficiency_N_to_4N": sc["scaling_efficiency_NtoN4"],
+        }
     print(json.dumps(out))
 
 

@@ -14,7 +14,8 @@ def rowlevel_oracle(
     seqs: pd.DataFrame,
     states: pd.DataFrame,
     gap_seconds: float = 3600.0,
-    roll_k: int = 4,
+    roll_ks: tuple[int, ...] = (4, 16, 64),
+    lags: tuple[int, ...] = (1, 2, 3),
     jumbo_n_tok: int = 4096,
 ) -> pd.DataFrame:
     """Compute the same columns as plans.pipeline.rowlevel_features."""
@@ -24,18 +25,18 @@ def rowlevel_oracle(
         g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
         n = g["n_tok"].astype("float64")
         ts = g["ts"].astype("int64") / 1e6  # epoch seconds
-        r = pd.DataFrame(
-            {
-                "doc_id": doc_id,
-                "seq_idx": g["seq_idx"].values,
-                "n_tok_lag_1": n.shift(1),
-                "n_tok_lead_1": n.shift(-1),
-                "n_tok_roll_mean": n.rolling(roll_k + 1, min_periods=1).mean(),
-                "n_tok_roll_std": n.rolling(roll_k + 1, min_periods=1).std(ddof=0),
-                "n_tok_roll_min": n.rolling(roll_k + 1, min_periods=1).min(),
-                "n_tok_roll_max": n.rolling(roll_k + 1, min_periods=1).max(),
-            }
-        )
+        r = pd.DataFrame({"doc_id": doc_id, "seq_idx": g["seq_idx"].values})
+        for k in lags:
+            r[f"n_tok_lag_{k}"] = n.shift(k)
+            r[f"n_tok_lead_{k}"] = n.shift(-k)
+        for k in roll_ks:
+            w = n.rolling(k + 1, min_periods=1)
+            r[f"roll{k}_mean"] = w.mean()
+            r[f"roll{k}_std"] = w.std(ddof=0)
+            r[f"roll{k}_min"] = w.min()
+            r[f"roll{k}_max"] = w.max()
+        r["tok_min"] = [float(np.min(t)) for t in g["tokens"]]
+        r["tok_max"] = [float(np.max(t)) for t in g["tokens"]]
         gap_prev = ts - ts.shift(1)
         r["gap_prev"] = gap_prev
         boundary = gap_prev.isna() | (gap_prev > gap_seconds)
@@ -45,8 +46,9 @@ def rowlevel_oracle(
         d_prev = ts - b_ts.ffill()
         d_next = b_ts.bfill() - ts
         r["dist_to_boundary"] = np.fmin(d_prev, d_next)
-        # jumbo bailout nulls the heavy stat
-        r.loc[g["n_tok"] > jumbo_n_tok, "n_tok_roll_std"] = np.nan
+        # jumbo bailout nulls the heavy stats
+        for k in roll_ks:
+            r.loc[g["n_tok"] > jumbo_n_tok, f"roll{k}_std"] = np.nan
         # as-of joined state per source
         src = g["source"].iloc[0]
         st = states[states["source"] == src]

@@ -103,7 +103,13 @@ def test_asof_strategies_match(spark):
         .toPandas()["v"]
         .values
     )
-    for kwargs in ({"strategy": "cogroup"}, {"salt": 5}, {"salt": 3}):
+    for kwargs in (
+        {"strategy": "cogroup"},
+        {"strategy": "broadcast"},
+        {"strategy": "grid"},
+        {"salt": 5},
+        {"salt": 3},
+    ):
         other = (
             asof_join(p, b, ["k"], "ts", "ts", ["v"], **kwargs)
             .orderBy("pid")

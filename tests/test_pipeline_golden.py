@@ -66,7 +66,9 @@ def test_zero_temporal_leakage(spark, seqs_df, states_df):
         states_df.filter(F.col("effective_ts") <= cutoff),
     )
     backward_cols = [
-        c for c in ROW_FEATURES if c not in ("n_tok_lead_1", "dist_to_boundary")
+        c
+        for c in ROW_FEATURES
+        if not c.startswith("n_tok_lead_") and c != "dist_to_boundary"
     ]
     a = (
         full.filter(F.col("ts") <= cutoff)
@@ -88,16 +90,25 @@ def test_zero_temporal_leakage(spark, seqs_df, states_df):
         assert np.allclose(ga, gb, equal_nan=True), col
 
 
-def test_salted_asof_identical(spark, seqs_df, states_df):
-    feat1 = rowlevel_features(seqs_df, states_df, asof_salt=1)
-    feat4 = rowlevel_features(seqs_df, states_df, asof_salt=4)
-    a = _sorted_pdf(feat1, ["asof_state_val"])
-    b = _sorted_pdf(feat4, ["asof_state_val"])
-    assert np.allclose(
-        a["asof_state_val"].astype("float64").values,
-        b["asof_state_val"].astype("float64").values,
-        equal_nan=True,
+def test_asof_strategies_and_salt_identical(spark, seqs_df, states_df):
+    """broadcast (default) == union == salted union == cogroup."""
+    base = _sorted_pdf(
+        rowlevel_features(seqs_df, states_df), ["asof_state_val"]
     )
+    for kwargs in (
+        {"asof_strategy": "union"},
+        {"asof_strategy": "union", "asof_salt": 4},
+        {"asof_strategy": "cogroup"},
+        {"asof_strategy": "broadcast"},
+    ):
+        other = _sorted_pdf(
+            rowlevel_features(seqs_df, states_df, **kwargs), ["asof_state_val"]
+        )
+        assert np.allclose(
+            base["asof_state_val"].astype("float64").values,
+            other["asof_state_val"].astype("float64").values,
+            equal_nan=True,
+        ), kwargs
 
 
 def test_generator_parallelism_invariance(spark, seqs_pdf):
