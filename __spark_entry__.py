@@ -508,6 +508,86 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_ratio_of_aggregates(spark, sf_dir):
+    """A5: derived ratios computed on the aggregate row (sclerosis-ratio
+    analog s/(s+g), extract_reference_features.py:266-293)."""
+    from combinedfeatureextraction_spark.functions.nansafe import safe_div
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))).alias("_r"),
+        F.sum("l_quantity").alias("_t"),
+    )
+    return agg.select(
+        "l_linestatus",
+        _r(safe_div(F.col("_r"), F.col("_t"))).alias("return_ratio"),
+    )
+
+
+def q_feature_long_format(spark, sf_dir):
+    """J5/K2: wide 6-stat output unpivoted to (group, feature, stat, value)
+    long format (arrays_zip/stack analog of FeatureExtractor.py:610)."""
+    from combinedfeatureextraction_spark.operators.aggregates import (
+        long_format,
+        six_stat_agg,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = six_stat_agg(li, ["l_quantity"], ["l_returnflag"])
+    out = long_format(
+        agg, ["l_returnflag"], [f"l_quantity_{s}" for s in
+                                ("sum", "mean", "std", "median", "min", "max")]
+    )
+    return out.select("l_returnflag", "feature", "stat", _r("value").alias("value"))
+
+
+def q_geodesic_flood(spark, sf_dir):
+    """W4 1-D analog: marker values flood contiguous mask runs (geodesic
+    reconstruction, extract_ffpe_features.py:6-22) — closed-form windows."""
+    from combinedfeatureextraction_spark.operators.fixpoint import (
+        geodesic_reconstruct_1d,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("_mask", F.col("value") > 10)
+    out = geodesic_reconstruct_1d(ev, ["user_id"], "ts", "value", "_mask")
+    return out.select("event_id", "user_id", "reconstructed")
+
+
+def q_connected_components(spark, sf_dir):
+    """W4/W6 graph form: components over an edge list built from events
+    (consecutive events of a user within 5 min are linked). Iterative
+    min-label propagation with localCheckpoint — rows-only check (fixpoint
+    loops are not single-statement ANSI SQL)."""
+    from combinedfeatureextraction_spark.operators.fixpoint import (
+        connected_components,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    edges = (
+        ev.withColumn("_prev", F.lag("event_id").over(w))
+        .withColumn("_gap", epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_gap") <= 300))
+        .select(F.col("_prev").alias("src"), F.col("event_id").alias("dst"))
+    )
+    return connected_components(edges, max_iter=30)
+
+
+def q_merge_writeback(spark, sf_dir):
+    """K4: narrow features MERGEd back onto the payload table by key —
+    payload column must survive byte-identical."""
+    from combinedfeatureextraction_spark.plans.writeback import merge_features
+
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.array_min("embedding").alias("emb_min"),
+        F.array_max("embedding").alias("emb_max"),
+    )
+    merged = merge_features(emb, feats, ["vec_id"])
+    return merged.select("vec_id", "embedding", "label", "emb_min", "emb_max")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rolling_window": q_rolling_window,
@@ -549,6 +629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsu": q_otsu,
         "streaming_sessions": q_streaming_sessions,
         "media_features": q_media_features,
+        "ratio_of_aggregates": q_ratio_of_aggregates,
+        "feature_long_format": q_feature_long_format,
+        "geodesic_flood": q_geodesic_flood,
+        "connected_components": q_connected_components,
+        "merge_writeback": q_merge_writeback,
     }
 
 
@@ -854,9 +939,54 @@ FROM (
 )
 GROUP BY user_id, session_id
 """,
-        # minhash_dedup / simhash_dedup / lsh_topk / otsu / media_features:
-        # intentionally no oracle (xxhash64 / LSH randomness / stubbed codec
-        # are not ANSI-SQL-expressible) → driver rows-only check.
+        "ratio_of_aggregates": """
+SELECT l_linestatus,
+  round(coalesce(
+    sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) / sum(l_quantity),
+  0), 6) AS return_ratio
+FROM lineitem GROUP BY l_linestatus
+""",
+        "feature_long_format": """
+WITH agg AS (
+  SELECT l_returnflag,
+    round(sum(l_quantity), 6) AS s_sum,
+    round(avg(l_quantity), 6) AS s_mean,
+    round(stddev_pop(l_quantity), 6) AS s_std,
+    round(CAST(median(l_quantity) AS DOUBLE), 6) AS s_median,
+    round(min(l_quantity), 6) AS s_min,
+    round(max(l_quantity), 6) AS s_max
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'l_quantity' AS feature, s.stat, s.value FROM agg,
+LATERAL (VALUES ('sum', s_sum), ('mean', s_mean), ('std', s_std),
+                ('median', s_median), ('min', s_min), ('max', s_max))
+  AS s(stat, value)
+""",
+        "geodesic_flood": """
+SELECT event_id, user_id,
+  CASE WHEN _mask THEN max(CASE WHEN _mask THEN value END)
+       OVER (PARTITION BY user_id, _run) END AS reconstructed
+FROM (
+  SELECT *,
+    sum(CASE WHEN _mask AND NOT coalesce(_prev_mask, FALSE) THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run
+  FROM (
+    SELECT *, value > 10 AS _mask,
+      lag(value > 10) OVER (PARTITION BY user_id ORDER BY ts) AS _prev_mask
+    FROM events
+  )
+)
+""",
+        "merge_writeback": """
+SELECT vec_id, embedding, label,
+  list_min(embedding) AS emb_min, list_max(embedding) AS emb_max
+FROM embeddings
+""",
+        # minhash_dedup / simhash_dedup / lsh_topk / otsu / media_features /
+        # connected_components: intentionally no oracle (xxhash64 / LSH
+        # randomness / stubbed codec / iterative fixpoint are not
+        # single-statement ANSI SQL) → driver rows-only check.
     }
 
 

@@ -3,6 +3,7 @@ from combinedfeatureextraction_spark.operators import (  # noqa: F401
     asof,
     dedup,
     fill,
+    fixpoint,
     joins,
     priority,
     sessionize,
