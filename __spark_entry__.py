@@ -588,6 +588,95 @@ def q_merge_writeback(spark, sf_dir):
     return merged.select("vec_id", "embedding", "label", "emb_min", "emb_max")
 
 
+def q_pivot(spark, sf_dir):
+    """Pivot: per-user value sums by event_type (A14 wide-per-class form)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = ev.groupBy("user_id").pivot("event_type", types).sum("value")
+    cols = [F.coalesce(_r(F.col(t)), F.lit(0.0)).alias(f"sum_{t}") for t in types]
+    return out.select("user_id", *cols)
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (grand total + per-flag + per-flag-status)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantile vector per event_type (A1 median
+    generalized; percentile_approx is the documented scale path)."""
+    ev = _t(spark, sf_dir, "events")
+    qs = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.25)).alias("_q1"),
+        F.percentile(F.col("value"), F.lit(0.5)).alias("_q2"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("_q3"),
+    )
+    return qs.select(
+        "event_type", _r("_q1").alias("p25"), _r("_q2").alias("p50"),
+        _r("_q3").alias("p95"),
+    )
+
+
+def q_tumbling_window(spark, sf_dir):
+    """Time-bucketed (tumbling 1 h) aggregates via F.window — the batch
+    twin of streaming_rolling_agg."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w")).agg(
+        F.count("*").alias("n_events"), _r(F.sum("value")).alias("sum_value")
+    )
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("w_start"), "n_events", "sum_value"
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of value (A11's pass-1 building block) —
+    width_bucket → groupBy count, fully map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.width_bucket(F.col("value"), F.lit(0.0), F.lit(200.0), F.lit(20)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    """Exact count-distinct per type (A9 analog); approx_count_distinct is
+    the documented 100 TB path (not oracled — HLL differs by engine)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_asof_strict(spark, sf_dir):
+    """As-of with allow_exact_matches=False — strictly-earlier match."""
+    return asof_join(
+        _purchases(spark, sf_dir), _errors(spark, sf_dir),
+        keys=["user_id"], probe_ts="ts", build_ts="ts", values=["err_value"],
+        allow_exact_matches=False,
+    ).select("event_id", "user_id", "err_value")
+
+
+def q_normalize_embedding(spark, sf_dir):
+    """L2-normalized embeddings (ANN preprocessing): array math via
+    zip-free transform over the column; rounded for oracle parity."""
+    from combinedfeatureextraction_spark.functions.arrays import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = l2_norm("embedding")
+    unit = F.transform("embedding", lambda x: F.round(x.cast("double") / n, 6))
+    return emb.select("vec_id", unit.alias("unit_vec"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rolling_window": q_rolling_window,
@@ -634,6 +723,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_flood": q_geodesic_flood,
         "connected_components": q_connected_components,
         "merge_writeback": q_merge_writeback,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "quantiles": q_quantiles,
+        "tumbling_window": q_tumbling_window,
+        "value_histogram": q_value_histogram,
+        "distinct_users": q_distinct_users,
+        "asof_strict": q_asof_strict,
+        "normalize_embedding": q_normalize_embedding,
     }
 
 
@@ -981,6 +1078,57 @@ FROM (
         "merge_writeback": """
 SELECT vec_id, embedding, label,
   list_min(embedding) AS emb_min, list_max(embedding) AS emb_max
+FROM embeddings
+""",
+        "pivot": """
+SELECT user_id,
+  round(coalesce(sum(CASE WHEN event_type='click' THEN value END), 0), 6) AS sum_click,
+  round(coalesce(sum(CASE WHEN event_type='view' THEN value END), 0), 6) AS sum_view,
+  round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0), 6) AS sum_purchase,
+  round(coalesce(sum(CASE WHEN event_type='error' THEN value END), 0), 6) AS sum_error,
+  round(coalesce(sum(CASE WHEN event_type='signup' THEN value END), 0), 6) AS sum_signup
+FROM events GROUP BY user_id
+""",
+        "rollup": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 6) AS sum_qty, count(*) AS n,
+  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "quantiles": """
+SELECT event_type,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95
+FROM events GROUP BY event_type
+""",
+        "tumbling_window": """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+  count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+""",
+        "value_histogram": """
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 200 THEN 21
+            ELSE CAST(floor(value / 10) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+        "distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+        "asof_strict": """
+SELECT p.event_id, p.user_id, b.value AS err_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='error') b
+  ON p.user_id = b.user_id AND p.ts > b.ts
+""",
+        "normalize_embedding": """
+SELECT vec_id,
+  list_transform(embedding, x -> round(CAST(x AS DOUBLE) /
+    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))
+  AS unit_vec
 FROM embeddings
 """,
         # minhash_dedup / simhash_dedup / lsh_topk / otsu / media_features /

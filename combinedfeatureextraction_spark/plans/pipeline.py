@@ -86,6 +86,7 @@ def rowlevel_features(
     asof_strategy: str = "grid",
     jumbo_n_tok: int = 4096,
     carry_payload: bool = True,
+    token_stats: bool = True,
 ) -> DataFrame:
     """Materialize the per-row feature vector. Column contract is fixed.
 
@@ -104,12 +105,18 @@ def rowlevel_features(
     # 1. scan-side token stats (A7) via NATIVE array functions only:
     # interpreted higher-order lambdas (F.aggregate/F.transform) contend
     # across local executor threads — measured INVERSE 8→32 scaling.
-    df = sequences.withColumn(
-        "tok_min", F.array_min("tokens").cast("double")
-    ).withColumn("tok_max", F.array_max("tokens").cast("double"))
+    df = sequences
+    if token_stats:
+        df = df.withColumn(
+            "tok_min", F.array_min("tokens").cast("double")
+        ).withColumn("tok_max", F.array_max("tokens").cast("double"))
     if not carry_payload:
+        # with token_stats=False this projection lets parquet column
+        # pruning skip the payload bytes entirely (ReadSchema check in
+        # tests/test_plans.py)
         df = df.select(
-            "doc_id", "seq_idx", "ts", "n_tok", "source", "tok_min", "tok_max"
+            "doc_id", "seq_idx", "ts", "n_tok", "source",
+            *(["tok_min", "tok_max"] if token_stats else []),
         )
 
     # 2. as-of join while the row is still narrow (one wide row per probe

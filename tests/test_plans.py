@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the `.explain` discipline: these lock
+in the properties that determine 100 TB behavior (single exchange, column
+pruning, filter pushdown, broadcast joins) so a regression shows up as a
+test failure, not a silent 10× slowdown."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_single_data_exchange(spark, seqs_df, states_df):
+    from combinedfeatureextraction_spark.plans.pipeline import rowlevel_features
+
+    df = rowlevel_features(seqs_df, states_df, carry_payload=False)
+    plan = _plan(df)
+    data_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    broadcasts = len(re.findall(r"BroadcastExchange", plan))
+    assert data_exchanges == 1, plan  # ONE shuffle for all window features
+    assert broadcasts == 1  # the as-of grid index
+    # all window operators share the one sort
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_narrow_no_token_stats_prunes_payload(spark, tmp_path, seqs_df):
+    """carry_payload=False + token_stats=False → parquet scan must NOT
+    read the tokens column (ReadSchema pruning)."""
+    from combinedfeatureextraction_spark.plans.pipeline import rowlevel_features
+
+    path = str(tmp_path / "seqs")
+    seqs_df.write.mode("overwrite").parquet(path)
+    seqs = spark.read.parquet(path)
+    df = rowlevel_features(seqs, None, carry_payload=False, token_stats=False)
+    plan = _plan(df)
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "tokens" not in scan, scan
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path, seqs_df):
+    from combinedfeatureextraction_spark.plans.pipeline import rowlevel_features
+
+    path = str(tmp_path / "seqs2")
+    seqs_df.write.mode("overwrite").parquet(path)
+    seqs = spark.read.parquet(path).filter(F.col("source") == "web")
+    df = rowlevel_features(seqs, None, carry_payload=False)
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*(EqualTo|IsNotNull)\(source", plan), plan
+
+
+def test_dim_join_is_broadcast(spark):
+    from combinedfeatureextraction_spark.operators.joins import (
+        broadcast_equi_join,
+    )
+
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k").withColumn("v", F.lit(1))
+    plan = _plan(broadcast_equi_join(a, b, "k"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_union_single_exchange(spark, seqs_df, states_df):
+    from combinedfeatureextraction_spark.operators.asof import asof_join
+
+    df = asof_join(
+        seqs_df.select("doc_id", "seq_idx", "ts", "source"),
+        states_df,
+        ["source"], "ts", "effective_ts", ["state_val"],
+    )
+    plan = _plan(df)
+    # union sorted-merge: exactly one hash exchange (on the key), no join
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
