@@ -65,11 +65,20 @@ def run(cpus: int) -> dict:
     # GCs with all machine cores, which would let local[8] borrow the other
     # 24 cores and understate true 8-core throughput
     gc_opts = f"-XX:ParallelGCThreads={cpus} -XX:ConcGCThreads={max(1, cpus // 4)}"
+    conf = {"spark.driver.extraJavaOptions": gc_opts}
+    # shuffle through tmpfs when available: removes single-disk IO noise
+    # from the measurement (a real cluster has per-executor disks)
+    shm = Path("/dev/shm/cfe_spark_local")
+    try:
+        shm.mkdir(parents=True, exist_ok=True)
+        conf["spark.local.dir"] = str(shm)
+    except OSError:
+        pass
     spark = get_spark(
         app_name=f"cfe_scaling_{cpus}",
         cpus=cpus,
         shuffle_partitions=2 * cpus,
-        extra_conf={"spark.driver.extraJavaOptions": gc_opts},
+        extra_conf=conf,
     )
     seqs = spark.read.parquet(str(FIXTURE_DIR))
     states = spark.read.parquet(str(STATES_DIR))
@@ -83,24 +92,41 @@ def run(cpus: int) -> dict:
     # noise (shared tenancy), and the best rep is the closest estimate of
     # the job's true cost at each core count.
     walls = []
-    for _ in range(3 if cpus <= 8 else 5):  # 8-core walls are stable; 32 needs JIT warm
+    for _ in range(int(os.environ.get("CFE_SCALE_REPS", "2" if cpus <= 8 else "4"))):
         t0 = time.time()
         feat = rowlevel_features(seqs, states, carry_payload=False)
         feat.write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)
     wall = min(walls)
+    # "core" variant: windows + sessionize + as-of only (token_stats=False
+    # → parquet prunes the payload column): isolates operator scaling from
+    # the single-host payload-decode bandwidth floor
+    walls_core = []
+    for _ in range(int(os.environ.get("CFE_SCALE_REPS", "2" if cpus <= 8 else "4"))):
+        t0 = time.time()
+        core = rowlevel_features(
+            seqs, states, carry_payload=False, token_stats=False
+        )
+        core.write.format("noop").mode("overwrite").save()
+        walls_core.append(time.time() - t0)
+    wall_core = min(walls_core)
     # wide (enriched-rows) variant for reference — payload rides the window
-    # shuffle; expected to be bandwidth-bound
-    t1 = time.time()
-    wide = rowlevel_features(seqs, states, carry_payload=True)
-    wide.write.format("noop").mode("overwrite").save()
-    wall_wide = time.time() - t1
+    # shuffle; expected to be bandwidth-bound (skip with CFE_SCALE_WIDE=0)
+    if os.environ.get("CFE_SCALE_WIDE", "1") != "0":
+        t1 = time.time()
+        wide = rowlevel_features(seqs, states, carry_payload=True)
+        wide.write.format("noop").mode("overwrite").save()
+        wall_wide = time.time() - t1
+    else:
+        wall_wide = float("nan")
     out = {
         "cpus": cpus,
         "rows": n_rows,
         "wall_sec": round(wall, 2),
         "wall_sec_reps": [round(w, 2) for w in walls],
         "rows_per_sec": round(n_rows / wall, 1),
+        "core_wall_sec": round(wall_core, 2),
+        "core_rows_per_sec": round(n_rows / wall_core, 1),
         "wide_wall_sec": round(wall_wide, 2),
         "wide_rows_per_sec": round(n_rows / wall_wide, 1),
     }
@@ -125,14 +151,16 @@ def run_all() -> None:
         results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
     thr8 = results[8]["rows_per_sec"]
     thr32 = results[32]["rows_per_sec"]
-    eff = (thr32 / thr8) / 4.0
+    core_sp = results[32]["core_rows_per_sec"] / results[8]["core_rows_per_sec"]
     report = {
         "job": "rowlevel_features (point-in-time feature materialization)",
         "rows": results[8]["rows"],
         "local8": results[8],
         "local32": results[32],
         "speedup_8_to_32": round(thr32 / thr8, 3),
-        "scaling_efficiency_NtoN4": round(eff, 3),
+        "scaling_efficiency_NtoN4": round(thr32 / thr8 / 4.0, 3),
+        "core_speedup_8_to_32": round(core_sp, 3),
+        "core_scaling_efficiency_NtoN4": round(core_sp / 4.0, 3),
     }
     (REPO / ".fixtures" / "scaling_result.json").write_text(json.dumps(report))
     print(json.dumps(report))
