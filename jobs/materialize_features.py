@@ -51,7 +51,8 @@ def main() -> None:
 
     def write_fn(part):
         return write_snapshot(
-            part, args.out, partition_by=(BUCKET_COL,), sort_within=("doc_id", "ts")
+            part, args.out, partition_by=(BUCKET_COL,),
+            sort_within=("doc_id", "ts"), mode="replace_partitions",
         )
 
     res = run.run_pending(feat, list(range(args.buckets)), write_fn)

@@ -28,6 +28,30 @@ def test_snapshot_roundtrip(spark, seqs_df, tmp_path):
     assert BUCKET_COL in back.columns
 
 
+def test_snapshot_incremental_and_time_travel(spark, seqs_df, tmp_path):
+    """replace_partitions commits merge with the parent snapshot; old
+    snapshot ids stay readable (time travel); CURRENT is atomic."""
+    import pyspark.sql.functions as F2
+
+    tbl = tmp_path / "tbl2"
+    df = with_bucket(seqs_df, "doc_id", 8).cache()
+    first = df.filter(F2.col(BUCKET_COL).isin([0, 1, 2]))
+    rest = df.filter(~F2.col(BUCKET_COL).isin([0, 1, 2]))
+    s1 = write_snapshot(first, tbl, mode="replace_partitions")
+    s2 = write_snapshot(rest, tbl, mode="replace_partitions")
+    assert current_snapshot_id(tbl) == s2
+    # CURRENT = union of both snapshots
+    assert read_snapshot(spark, tbl).count() == df.count()
+    # time travel to s1: only the first three buckets existed
+    assert read_snapshot(spark, tbl, snapshot_id=s1).count() == first.count()
+    # re-writing a bucket replaces, not duplicates
+    s3 = write_snapshot(
+        first.filter(F2.col(BUCKET_COL) == 0), tbl, mode="replace_partitions"
+    )
+    assert current_snapshot_id(tbl) == s3
+    assert read_snapshot(spark, tbl).count() == df.count()
+
+
 def test_resume_skips_completed(spark, seqs_df, tmp_path):
     n_buckets = 8
     df = with_bucket(seqs_df, "doc_id", n_buckets).cache()
