@@ -657,6 +657,28 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+def q_asof_join_grid(spark, sf_dir):
+    """Grid-indexed broadcast as-of (the engine's fastest small-build
+    strategy): driver-compiled dense time grid, O(1)/probe CASE resolve."""
+    return asof_join(
+        _purchases(spark, sf_dir), _errors(spark, sf_dir),
+        keys=["user_id"], probe_ts="ts", build_ts="ts", values=["err_value"],
+        strategy="grid",
+    ).select("event_id", "user_id", "ts", "value", "err_value")
+
+
+def q_approx_stats(spark, sf_dir):
+    """The documented 100 TB escape hatches: percentile_approx and
+    approx_count_distinct (HLL). Sketch values are engine-specific →
+    rows-only check; exact twins are oracled in `quantiles` and
+    `distinct_users`."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r(F.percentile_approx("value", 0.5, 10000)).alias("p50_approx"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )
+
+
 def q_asof_strict(spark, sf_dir):
     """As-of with allow_exact_matches=False — strictly-earlier match."""
     return asof_join(
@@ -731,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "asof_strict": q_asof_strict,
         "normalize_embedding": q_normalize_embedding,
+        "asof_join_grid": q_asof_join_grid,
+        "approx_stats": q_approx_stats,
     }
 
 
@@ -822,6 +846,7 @@ FROM (
         "asof_join": _ASOF_SQL,
         "asof_join_salted": _ASOF_SQL,
         "asof_join_cogroup": _ASOF_SQL,
+        "asof_join_grid": _ASOF_SQL,
         "asof_tolerance": """
 SELECT p.event_id, p.user_id,
   CASE WHEN epoch(p.ts) - epoch(b.ts) > 900 THEN NULL ELSE b.value END

@@ -94,6 +94,9 @@ def main() -> None:
             "speedup_8_to_32": sc["speedup_8_to_32"],
             "efficiency_N_to_4N": sc["scaling_efficiency_NtoN4"],
         }
+        for k in ("core_speedup_8_to_32", "core_scaling_efficiency_NtoN4"):
+            if k in sc:
+                out["scaling"][k] = sc[k]
     print(json.dumps(out))
 
 
