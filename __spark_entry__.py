@@ -679,6 +679,51 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus curation composite: minhash pairs → connected components →
+    canonical doc per cluster (planted twins collapse onto the original)."""
+    from combinedfeatureextraction_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
+    )
+    return dedup_clusters(docs.unionByName(mutated), "doc_id", "text")
+
+
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end curation filter: quality ≥ 0.5, heuristic lang = 'en',
+    exact-dedup winner — the keep-list a training-data pipeline feeds to
+    tokenization."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        X.quality_score("text").alias("q"),
+        X.lang_id("text").alias("lp"),
+    ).filter((F.col("q") >= 0.5) & (F.col("lp") == "en"))
+    return exact_dedup(scored, ["text"], [F.col("doc_id").asc()]).select(
+        "doc_id", F.col("q").alias("quality")
+    )
+
+
+def q_top_words(spark, sf_dir):
+    """Vocabulary building: global top-20 words by frequency (explode →
+    map-side-combined count → deterministic top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("word", "n", "rank")
+    )
+
+
 def q_asof_strict(spark, sf_dir):
     """As-of with allow_exact_matches=False — strictly-earlier match."""
     return asof_join(
@@ -755,6 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_embedding": q_normalize_embedding,
         "asof_join_grid": q_asof_join_grid,
         "approx_stats": q_approx_stats,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_filter": q_corpus_filter,
+        "top_words": q_top_words,
     }
 
 
@@ -1148,6 +1196,47 @@ SELECT p.event_id, p.user_id, b.value AS err_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='error') b
   ON p.user_id = b.user_id AND p.ts > b.ts
+""",
+        "corpus_filter": """
+WITH scored AS (
+  SELECT doc_id, text,
+    round(least(sw * 4, 1.0) * 0.4
+          + (1.0 - least(pr * 5, 1.0)) * 0.3
+          + (1.0 - least(abs(wl - 5.0) / 5.0, 1.0)) * 0.3, 6) AS q,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS lp
+  FROM (
+    SELECT doc_id, text,
+      CAST(len(list_filter(string_split(text,' '),
+           w -> w IN ('the','a','of','to','and','in','is','it','for','on'))) AS DOUBLE)
+        / len(string_split(text,' ')) AS sw,
+      CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / length(text) AS pr,
+      CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        / len(string_split(text,' ')) AS wl,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das','nicht'))) AS DOUBLE) / len(string_split(text,' ')) AS s_de,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','in'))) AS DOUBLE) / len(string_split(text,' ')) AS s_en,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y'))) AS DOUBLE) / len(string_split(text,' ')) AS s_es,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','des'))) AS DOUBLE) / len(string_split(text,' ')) AS s_fr
+    FROM documents
+  )
+  WHERE q >= 0.5 AND lp = 'en'
+)
+SELECT doc_id, q AS quality FROM (
+  SELECT doc_id, q, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+        "top_words": """
+SELECT word, n, rank FROM (
+  SELECT word, count(*) AS n,
+    row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rank
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+) WHERE rank <= 20
 """,
         "normalize_embedding": """
 SELECT vec_id,

@@ -312,6 +312,41 @@ def simhash_dedup(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH pairs → connected
+    components → canonical id per cluster (minimum id wins — W9 last-wins
+    generalized to clusters). Output: (id, canonical_id) for EVERY input
+    row; singletons map to themselves.
+
+    This is the corpus-curation composite: at 100 TB the pair stage
+    shuffles signatures only, the component stage shuffles (id, label)
+    pairs only, and the final mapping joins back by id."""
+    from combinedfeatureextraction_spark.operators.fixpoint import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_dedup(
+        df, id_col, text_col, n, num_hashes, bands, threshold
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(pairs, max_iter=max_iter).select(
+        F.col("id").alias(id_col), F.col("component").alias("canonical_id")
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", F.col(id_col)))
+    )
+
+
 # ------------------------------------------------ embedding near-dup
 
 def embedding_near_dup_pairs(

@@ -21,6 +21,11 @@ SUBSET = [
     "dim_join", "interval_join", "exact_dedup", "embedding_topk",
     "payload_passthrough", "payload_sum", "text_quality", "lang_id",
     "fingerprint", "salted_agg", "component_count", "rebase",
+    "asof_join_grid", "asof_strict", "ratio_of_aggregates",
+    "feature_long_format", "geodesic_flood", "merge_writeback",
+    "pivot", "rollup", "quantiles", "tumbling_window",
+    "value_histogram", "distinct_users", "normalize_embedding",
+    "corpus_filter", "top_words",
 ]
 
 
@@ -42,4 +47,4 @@ def test_every_query_key_has_callable():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 35
+    assert len(qs) >= 50
