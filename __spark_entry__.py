@@ -724,6 +724,26 @@ def q_top_words(spark, sf_dir):
     )
 
 
+def q_zscore(spark, sf_dir):
+    """Per-entity standardization (x-µ)/σ — groupwise normalization over
+    an unordered window (one shuffle, no sort)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise((F.col("value") - mu) / sd)
+    return ev.select("event_id", "user_id", _r(z).alias("zscore"))
+
+
+def q_ntile(spark, sf_dir):
+    """Quartile assignment per entity (ntile ranking window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "user_id", F.ntile(4).over(w).alias("quartile")
+    )
+
+
 def q_asof_strict(spark, sf_dir):
     """As-of with allow_exact_matches=False — strictly-earlier match."""
     return asof_join(
@@ -803,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_filter": q_corpus_filter,
         "top_words": q_top_words,
+        "zscore": q_zscore,
+        "ntile": q_ntile,
     }
 
 
@@ -1229,6 +1251,19 @@ SELECT doc_id, q AS quality FROM (
   SELECT doc_id, q, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
   FROM scored
 ) WHERE rn = 1
+""",
+        "zscore": """
+SELECT event_id, user_id,
+  round(CASE WHEN stddev_pop(value) OVER w = 0 THEN 0
+        ELSE (value - avg(value) OVER w) / (stddev_pop(value) OVER w) END, 6)
+    AS zscore
+FROM events WINDOW w AS (PARTITION BY user_id)
+""",
+        "ntile": """
+SELECT event_id, user_id,
+  ntile(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+    AS quartile
+FROM events
 """,
         "top_words": """
 SELECT word, n, rank FROM (
