@@ -42,6 +42,7 @@ def main() -> None:
         "rolling_window", "lag_lead", "sessionize", "session_stats",
         "forward_fill", "dist_to_boundary",
         "asof_join", "asof_join_salted", "asof_join_cogroup",
+        "asof_join_grid", "geodesic_flood", "zscore",
         "six_stat_hierarchy", "weighted_mean", "interval_join",
         "percent_rank", "topk",
         # training-data ops

@@ -133,55 +133,66 @@ def _asof_grid(
         for v in values:
             out = out.withColumn(v, F.lit(None).cast(build.schema[v].dataType))
         return out
+    pdf = pdf.reset_index(drop=True)
     ep = pdf["_ts"].to_numpy(dtype=np.float64)
     lo, hi = float(ep.min()), float(ep.max())
     span = max(hi - lo, 1.0)
-    # widen Δ until every (key, bucket) holds ≤ K ticks
-    n_buckets = max(int(len(pdf) // _GRID_K) * 2, 8)
+    key_ids = pdf.groupby(list(keys), sort=False).ngroup().to_numpy()
+    n_keys = int(key_ids.max()) + 1
+    # SMALLEST bucket count with ≤ K ticks per (key, bucket): start near
+    # the information-theoretic floor and DOUBLE until satisfied (starting
+    # big and shrinking would trivially accept a huge dense grid — that
+    # bug cost 288 s on a 20k-tick build side)
+    n_buckets = max(8, len(pdf) // max(n_keys, 1) // _GRID_K)
     while True:
         delta = span / n_buckets
-        b = np.floor((ep - lo) / delta).astype(np.int64)
-        key_ids = pdf.groupby(list(keys), sort=False).ngroup().to_numpy()
-        combo = key_ids * (n_buckets + 2) + b
+        b = np.minimum((ep - lo) / delta, n_buckets - 1).astype(np.int64)
+        combo = key_ids * np.int64(n_buckets + 1) + b
         _, counts = np.unique(combo, return_counts=True)
-        if counts.max() <= _GRID_K or n_buckets <= 8:
+        if counts.max() <= _GRID_K or n_buckets >= 1 << 18:
             break
-        n_buckets //= 2
+        n_buckets *= 2
+    if counts.max() > _GRID_K:
+        raise ValueError(
+            "asof grid: build side too dense for the grid index "
+            f"(>{_GRID_K} ticks per minimal bucket); use strategy='union'"
+        )
     b_lo, b_hi = 0, int(b.max())
 
-    # dense grid rows per key: carry + K tick slots
-    rows = []
-    for kvals, g in pdf.assign(_b=b, _ep=ep).groupby(list(keys), sort=False):
-        if not isinstance(kvals, tuple):
-            kvals = (kvals,)
-        g = g.sort_values("_ep", kind="mergesort")
-        per_bucket: dict[int, list] = {}
-        for t in g.to_dict("records"):  # dicts: underscore cols survive
-            per_bucket.setdefault(int(t["_b"]), []).append(t)
-        carry_val = {v: None for v in values}
-        carry_ts = None
-        for bk in range(b_lo, b_hi + 1):
-            row = dict(zip(keys, kvals))
-            row["_bucket"] = bk
-            row["_carry_ts"] = carry_ts
-            for v in values:
-                row[f"_carry_{v}"] = carry_val[v]
-            ticks = per_bucket.get(bk, [])
-            for i in range(_GRID_K):
-                if i < len(ticks):
-                    row[f"_t{i}"] = float(ticks[i]["_ep"])
-                    for v in values:
-                        row[f"_x{i}_{v}"] = ticks[i][v]
-                else:
-                    row[f"_t{i}"] = None
-                    for v in values:
-                        row[f"_x{i}_{v}"] = None
-            rows.append(row)
-            if ticks:
-                carry_ts = float(ticks[-1]["_ep"])
-                for v in values:
-                    carry_val[v] = ticks[-1][v]
-    grid_pdf = pd.DataFrame(rows)
+    # vectorized dense-grid construction (no per-row python):
+    # rank ticks within (key, bucket), pivot to K tick-slot columns,
+    # reindex to the dense (key × bucket) grid, forward-fill the carry
+    work = pdf.assign(_kid=key_ids, _b=b)
+    work["_r"] = work.groupby(["_kid", "_b"], sort=False).cumcount()
+    wide = work.pivot(index=["_kid", "_b"], columns="_r", values=["_ts", *values])
+    dense_idx = pd.MultiIndex.from_product(
+        [range(n_keys), range(b_lo, b_hi + 1)], names=["_kid", "_b"]
+    )
+    dense = wide.reindex(dense_idx)
+    grid_pdf = pd.DataFrame(index=dense_idx)
+    for i in range(_GRID_K):
+        grid_pdf[f"_t{i}"] = (
+            dense[("_ts", i)] if ("_ts", i) in dense.columns else np.nan
+        )
+        for v in values:
+            grid_pdf[f"_x{i}_{v}"] = (
+                dense[(v, i)] if (v, i) in dense.columns else None
+            )
+    # carry = last tick of the PREVIOUS bucket with any tick, per key
+    last_in_bucket = work.groupby(["_kid", "_b"], sort=False).last()
+    last_dense = last_in_bucket.reindex(dense_idx)
+    g = last_dense.groupby(level="_kid")
+    grid_pdf["_carry_ts"] = g["_ts"].shift(1).groupby(level="_kid").ffill().values
+    for v in values:
+        grid_pdf[f"_carry_{v}"] = (
+            g[v].shift(1).groupby(level="_kid").ffill().values
+        )
+    grid_pdf = grid_pdf.reset_index().rename(columns={"_b": "_bucket"})
+    kid_keys = work[["_kid", *keys]].drop_duplicates("_kid")
+    grid_pdf = grid_pdf.merge(kid_keys, on="_kid", how="left").drop(columns=["_kid"])
+    # object-typed value slots: NaN → None for Spark conversion
+    grid_pdf = grid_pdf.where(pd.notna(grid_pdf), None)
+    grid_pdf["_bucket"] = grid_pdf["_bucket"].astype("int64")
     # build explicit schema: key cols from build, doubles for ts, value types
     fields = [build.schema[k] for k in keys]
     fields.append(T.StructField("_bucket", T.LongType(), False))
