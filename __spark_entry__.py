@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from combinedfeatureextraction_spark.functions import text as X
 from combinedfeatureextraction_spark.functions.timeutil import epoch_seconds
-from combinedfeatureextraction_spark.functions.arrays import cosine, payload_sum
+from combinedfeatureextraction_spark.functions.arrays import (
+    cosine,
+    payload_digest,
+    payload_sum,
+)
 from combinedfeatureextraction_spark.operators.aggregates import (
     masked_mean_std,
     six_stat_agg,
@@ -370,8 +374,14 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_payload_passthrough(spark, sf_dir):
+    """S4: payload survives the scan byte-identical. The driver's hasher
+    cannot hash raw array cells, so project an order-sensitive integer
+    digest (position-weighted, DuckDB-reproducible); the true byte-equality
+    proof on the raw array stays in tests/test_pipeline_golden.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "embedding", "label")
+    return emb.select(
+        "vec_id", payload_digest("embedding").alias("emb_digest"), "label"
+    )
 
 
 def q_payload_sum(spark, sf_dir):
@@ -585,7 +595,13 @@ def q_merge_writeback(spark, sf_dir):
         F.array_max("embedding").alias("emb_max"),
     )
     merged = merge_features(emb, feats, ["vec_id"])
-    return merged.select("vec_id", "embedding", "label", "emb_min", "emb_max")
+    return merged.select(
+        "vec_id",
+        payload_digest("embedding").alias("emb_digest"),
+        "label",
+        "emb_min",
+        "emb_max",
+    )
 
 
 def q_pivot(spark, sf_dir):
@@ -844,6 +860,14 @@ _SESSION_ID_SQL = f"""
     )
 """
 
+# position-weighted integer digest of a float array — exact dual of
+# functions.arrays.payload_digest (DuckDB lambda index is 1-based; Spark
+# transform index 0-based +1). CASTs pin BIGINT (list_sum promotes to
+# HUGEINT otherwise, which the driver's hasher treats as a different value).
+_DIGEST_SQL = """CAST(coalesce(list_sum(list_transform(embedding,
+  (x, i) -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) * i)), 0)
+  AS BIGINT)"""
+
 _QUALITY_SQL = """
   SELECT doc_id,
     len(string_split(text, ' ')) AS n_words,
@@ -1055,7 +1079,9 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
     >= 0.3
 """,
-        "payload_passthrough": "SELECT vec_id, embedding, label FROM embeddings",
+        "payload_passthrough": f"""
+SELECT vec_id, {_DIGEST_SQL} AS emb_digest, label FROM embeddings
+""",
         "payload_sum": """
 SELECT vec_id,
   round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS emb_sum,
@@ -1092,8 +1118,9 @@ FROM s
 """,
         "fingerprint": """
 SELECT doc_id,
-  list_sum(list_transform(string_split(text, ' '),
-           (w, i) -> (CAST(ascii(w) AS BIGINT) * i) % 1000000007)) % 1000000007 AS fp
+  CAST(list_sum(list_transform(string_split(text, ' '),
+           (w, i) -> (CAST(ascii(w) AS BIGINT) * i) % 1000000007))
+       % 1000000007 AS BIGINT) AS fp
 FROM documents
 """,
         "salted_agg": """
@@ -1170,8 +1197,8 @@ FROM (
   )
 )
 """,
-        "merge_writeback": """
-SELECT vec_id, embedding, label,
+        "merge_writeback": f"""
+SELECT vec_id, {_DIGEST_SQL} AS emb_digest, label,
   list_min(embedding) AS emb_min, list_max(embedding) AS emb_max
 FROM embeddings
 """,

@@ -85,6 +85,22 @@ def payload_checksum(col: Column | str) -> Column:
     return F.xxhash64(_c(col))
 
 
+def payload_digest(col: Column | str) -> Column:
+    """Position-weighted integer digest of a float array:
+    Σᵢ round(xᵢ·10⁶)·i (1-based i), as BIGINT. Order-sensitive scalar
+    proxy for byte equality that an ANSI-SQL oracle can reproduce exactly
+    (DuckDB: list_sum(list_transform(a, (x,i) -> CAST(round(x*1e6) AS
+    BIGINT) * i)) — DuckDB's lambda index is 1-based, hence i+1 here).
+    Unlike xxhash64 it is engine-portable; unlike a plain sum it detects
+    permutations. Used to make array-payload queries hashable by the
+    driver's comparator (raw arrays are unhashable there)."""
+    terms = F.transform(
+        _c(col),
+        lambda x, i: F.round(x.cast("double") * 1e6, 0).cast("long") * (i + F.lit(1)),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
 def masked_payload_mean(col: Column | str, pred) -> Column:
     """mean of array elements where pred(x) — in-payload masked mean (A7/
     A14 payload form): filter + fold, no explode, no shuffle."""
