@@ -771,13 +771,60 @@ def q_asof_strict(spark, sf_dir):
 
 def q_normalize_embedding(spark, sf_dir):
     """L2-normalized embeddings (ANN preprocessing): array math via
-    zip-free transform over the column; rounded for oracle parity."""
+    zip-free transform over the column; rounded for oracle parity.
+    The driver's comparator cannot hash raw array cells, so the query
+    projects the order-sensitive integer digest of the unit vector; the
+    raw-array assertion lives in tests/test_oracle_duckdb.py."""
     from combinedfeatureextraction_spark.functions.arrays import l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
     n = l2_norm("embedding")
     unit = F.transform("embedding", lambda x: F.round(x.cast("double") / n, 6))
-    return emb.select("vec_id", unit.alias("unit_vec"))
+    return emb.select("vec_id", payload_digest(unit).alias("unit_digest"))
+
+
+def q_glcm_stats(spark, sf_dir):
+    """W1 (complete): GLCM texture statistics — contrast/homogeneity/
+    energy/correlation from the symmetric offset-1 co-occurrence histogram
+    per entity (FeatureExtractor.py:500-519 ``graycomatrix``+``graycoprops``
+    closed forms on the 1-D value sequence, 16 quantization levels)."""
+    from combinedfeatureextraction_spark.operators.texture import (
+        glcm_texture,
+        quantize_level,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("lvl", quantize_level("value", 16))
+    out = glcm_texture(ev, "lvl", ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        _r("contrast").alias("contrast"),
+        _r("homogeneity").alias("homogeneity"),
+        _r("energy").alias("energy"),
+        _r("correlation").alias("correlation"),
+    )
+
+
+def q_component_stats(spark, sf_dir):
+    """A10/X9 (complete): per-component MOMENT features (std/duration/
+    range/aspect — regionprops analogs, FeatureExtractor.py:544-580) then
+    the 6-stat rollup of those per entity (:584-616). Two shuffles total:
+    (entity, session) combinable agg, then the small per-entity 6-stat."""
+    from combinedfeatureextraction_spark.operators.sessionize import (
+        component_moments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", GAP)
+    moments = component_moments(s, ["user_id"], "ts", "value")
+    agg = six_stat_agg(
+        moments, ["session_std", "session_duration", "session_aspect"], ["user_id"]
+    )
+    stats = [
+        f"{f}_{s}"
+        for f in ("session_std", "session_duration", "session_aspect")
+        for s in ("sum", "mean", "std", "median", "min", "max")
+    ]
+    return agg.select("user_id", *[_r(c).alias(c) for c in stats])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -841,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words": q_top_words,
         "zscore": q_zscore,
         "ntile": q_ntile,
+        "glcm_stats": q_glcm_stats,
+        "component_stats": q_component_stats,
     }
 
 
@@ -848,7 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SESSION_ID_SQL = f"""
     SELECT *,
-      CAST(sum(CASE WHEN gap_prev IS NULL OR gap_prev > {GAP} THEN 1 ELSE 0 END)
+      CAST(sum(CASE WHEN gap_prev IS NULL OR gap_prev >= {GAP} THEN 1 ELSE 0 END)
         OVER (PARTITION BY user_id ORDER BY ts
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
         AS session_id
@@ -1302,10 +1351,78 @@ SELECT word, n, rank FROM (
 """,
         "normalize_embedding": """
 SELECT vec_id,
-  list_transform(embedding, x -> round(CAST(x AS DOUBLE) /
-    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))
-  AS unit_vec
+  CAST(coalesce(list_sum(list_transform(
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)),
+    (x, i) -> CAST(round(x * 1000000, 0) AS BIGINT) * i)), 0) AS BIGINT)
+  AS unit_digest
 FROM embeddings
+""",
+        "glcm_stats": """
+WITH lv AS (
+  SELECT user_id, ts, event_id,
+    ((CAST(floor(value) AS BIGINT) % 16) + 16) % 16 AS j
+  FROM events
+), pr AS (
+  SELECT user_id, lag(j) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i, j
+  FROM lv
+), sym AS (
+  SELECT user_id, i, j FROM pr WHERE i IS NOT NULL
+  UNION ALL
+  SELECT user_id, j AS i, i AS j FROM pr WHERE i IS NOT NULL
+), h AS (
+  SELECT user_id, i, j, count(*) AS c FROM sym GROUP BY user_id, i, j
+), a AS (
+  SELECT user_id,
+    sum(c) AS n,
+    sum(c * (i-j) * (i-j)) AS sij2,
+    sum(CAST(c AS DOUBLE) / (1.0 + (i-j)*(i-j))) AS shom,
+    sum(c * c) AS s2,
+    sum(c * i) AS si,
+    sum(c * i * i) AS sii,
+    sum(c * i * j) AS sij
+  FROM h GROUP BY user_id
+)
+SELECT user_id,
+  round(CAST(sij2 AS DOUBLE) / n, 6) AS contrast,
+  round(shom / n, 6) AS homogeneity,
+  round(sqrt(CAST(s2 AS DOUBLE)) / n, 6) AS energy,
+  round(CASE WHEN CAST(n AS HUGEINT)*sii - CAST(si AS HUGEINT)*si <= 0 THEN 1.0
+    ELSE CAST(CAST(n AS HUGEINT)*sij - CAST(si AS HUGEINT)*si AS DOUBLE)
+       / CAST(CAST(n AS HUGEINT)*sii - CAST(si AS HUGEINT)*si AS DOUBLE) END, 6)
+    AS correlation
+FROM a
+""",
+        "component_stats": f"""
+WITH m AS (
+  SELECT user_id, session_id,
+    stddev_pop(value) AS f_std,
+    max(epoch(ts)) - min(epoch(ts)) AS f_dur,
+    CASE WHEN max(epoch(ts)) - min(epoch(ts)) = 0 THEN 0.0
+         ELSE (max(value) - min(value)) / (max(epoch(ts)) - min(epoch(ts)))
+    END AS f_asp
+  FROM ({_SESSION_ID_SQL}) GROUP BY user_id, session_id
+)
+SELECT user_id,
+  round(coalesce(sum(f_std), 0), 6)                    AS session_std_sum,
+  round(coalesce(avg(f_std), 0), 6)                    AS session_std_mean,
+  round(coalesce(stddev_pop(f_std), 0), 6)             AS session_std_std,
+  round(coalesce(CAST(median(f_std) AS DOUBLE), 0), 6) AS session_std_median,
+  round(coalesce(min(f_std), 0), 6)                    AS session_std_min,
+  round(coalesce(max(f_std), 0), 6)                    AS session_std_max,
+  round(coalesce(sum(f_dur), 0), 6)                    AS session_duration_sum,
+  round(coalesce(avg(f_dur), 0), 6)                    AS session_duration_mean,
+  round(coalesce(stddev_pop(f_dur), 0), 6)             AS session_duration_std,
+  round(coalesce(CAST(median(f_dur) AS DOUBLE), 0), 6) AS session_duration_median,
+  round(coalesce(min(f_dur), 0), 6)                    AS session_duration_min,
+  round(coalesce(max(f_dur), 0), 6)                    AS session_duration_max,
+  round(coalesce(sum(f_asp), 0), 6)                    AS session_aspect_sum,
+  round(coalesce(avg(f_asp), 0), 6)                    AS session_aspect_mean,
+  round(coalesce(stddev_pop(f_asp), 0), 6)             AS session_aspect_std,
+  round(coalesce(CAST(median(f_asp) AS DOUBLE), 0), 6) AS session_aspect_median,
+  round(coalesce(min(f_asp), 0), 6)                    AS session_aspect_min,
+  round(coalesce(max(f_asp), 0), 6)                    AS session_aspect_max
+FROM m GROUP BY user_id
 """,
         # minhash_dedup / simhash_dedup / lsh_topk / otsu / media_features /
         # connected_components: intentionally no oracle (xxhash64 / LSH

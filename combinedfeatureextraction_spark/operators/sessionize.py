@@ -31,13 +31,16 @@ def sessionize(
 ) -> DataFrame:
     """Assign 0-based session ids per entity.
 
-    A new session starts when ts - lag(ts) > gap (strictly greater, matching
-    8-connectivity labeling where adjacent pixels are one component).
+    A new session starts when ts - lag(ts) >= gap — the half-open interval
+    Spark's ``F.session_window`` uses (a session extends to start+gap
+    EXCLUSIVE), so the batch labeler and the streaming dual
+    (streaming.sessions.streaming_session_agg) agree at exact-gap
+    boundaries.
     """
     w = Window.partitionBy(*keys).orderBy(ts)
     gap_prev = epoch_seconds(ts) - F.lag(epoch_seconds(ts), 1).over(w)
     boundary = F.when(
-        gap_prev.isNull() | (gap_prev > F.lit(float(gap_seconds))), F.lit(1)
+        gap_prev.isNull() | (gap_prev >= F.lit(float(gap_seconds))), F.lit(1)
     ).otherwise(F.lit(0))
     cum = Window.partitionBy(*keys).orderBy(ts).rowsBetween(
         Window.unboundedPreceding, 0
@@ -65,6 +68,38 @@ def session_stats(
         F.max(ts).alias("session_end"),
         F.sum(value).alias("session_sum"),
         F.avg(value).alias("session_mean"),
+    )
+
+
+def component_moments(
+    sess: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-session MOMENT features — the full regionprops analog
+    (FeatureExtractor.py:544-580): beyond count/sum/mean this adds the
+    second moment (population std, numpy ``np.nanstd`` parity :592), the
+    spatial extent (duration ≙ bbox height), the value extent (range ≙
+    bbox width), and the aspect-ratio analog range/duration
+    (``region.axis_minor_length / axis_major_length``-style shape ratio,
+    :549-556), with the reference's /0→0 coalesce discipline.
+
+    One groupBy on (entity, session) — map-side combinable; all stats are
+    algebraic (no sort, no second pass)."""
+    e = epoch_seconds(ts)
+    v = F.col(value)
+    dur = F.max(e) - F.min(e)
+    rng = F.max(v) - F.min(v)
+    return sess.groupBy(*keys, session_col).agg(
+        F.count("*").alias("session_len"),
+        F.sum(v).alias("session_sum"),
+        F.avg(v).alias("session_mean"),
+        F.stddev_pop(v).alias("session_std"),
+        dur.alias("session_duration"),
+        rng.alias("session_range"),
+        F.when(dur == 0, F.lit(0.0)).otherwise(rng / dur).alias("session_aspect"),
     )
 
 

@@ -1,0 +1,123 @@
+"""GLCM texture statistics — Contrast / Homogeneity / Energy / Correlation
+from the offset-1 co-occurrence histogram (SURVEY.md W1, second half).
+
+Reference analog: ``calculate_texture_features``
+(fextract/extractioncodes/FeatureExtractor.py:500-519) builds
+``graycomatrix(img, [1], [0], symmetric=True, normed=True)`` and reads the
+four ``graycoprops`` scalars per compartment. The 1-D sequence analog pairs
+each quantized value with its offset-1 neighbor per entity (the existing
+lag pairing, window_features.with_lag_lead), symmetrizes, histograms the
+pairs, and evaluates the closed forms:
+
+    P(i,j)      = c(i,j) / n                (normed co-occurrence matrix)
+    contrast    = Σ P·(i−j)²
+    homogeneity = Σ P / (1+(i−j)²)          (inverse difference moment)
+    energy      = sqrt(Σ P²)
+    correlation = Σ P·(i−μ)(j−μ) / σ²       (symmetric ⇒ μi=μj, σi=σj;
+                                             σ²=0 ⇒ 1.0, skimage convention)
+
+Plan shape (scale notes): one window exchange+sort on the entity key for
+the lag, one combinable groupBy on (entity, i, j) — map-side partial
+aggregation collapses each partition to ≤ levels² rows per entity before
+the shuffle — then a tiny per-entity aggregate. All moment sums except
+homogeneity are INTEGER-exact (counts × integer levels), so correlation's
+σ²≤0 test and the contrast/energy ratios are bit-deterministic across
+engines; the products are computed in decimal(38,0) so a hot entity with
+up to ~10¹⁸ pairs cannot overflow long.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def quantize_level(value: Column | str, levels: int = 16) -> Column:
+    """floor(value) folded into [0, levels) — the uint8 gray-level
+    quantization (FeatureExtractor.py:509 ``(gray*255).astype(uint8)``)
+    for an unbounded double axis. pmod keeps negatives in range."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.pmod(F.floor(v).cast("int"), F.lit(levels)).cast("int")
+
+
+def glcm_pairs(
+    df: DataFrame,
+    level: str,
+    keys: Sequence[str],
+    order: Sequence[str],
+    symmetric: bool = True,
+) -> DataFrame:
+    """(entity, i, j) offset-1 neighbor pairs; symmetric doubles each pair
+    with its mirror — exactly ``graycomatrix(..., symmetric=True)``."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pr = (
+        df.select(
+            *keys,
+            F.lag(level, 1).over(w).alias("_i"),
+            F.col(level).alias("_j"),
+        )
+        .filter(F.col("_i").isNotNull())
+    )
+    if not symmetric:
+        return pr.select(*keys, F.col("_i").alias("i"), F.col("_j").alias("j"))
+    return pr.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(F.col("_i").alias("i"), F.col("_j").alias("j")),
+                F.struct(F.col("_j").alias("i"), F.col("_i").alias("j")),
+            )
+        ).alias("p"),
+    ).select(*keys, "p.i", "p.j")
+
+
+def glcm_texture(
+    df: DataFrame,
+    level: str,
+    keys: Sequence[str],
+    order: Sequence[str],
+    symmetric: bool = True,
+) -> DataFrame:
+    """Per-entity GLCM texture stats from an integer level column.
+
+    Output: keys + (contrast, homogeneity, energy, correlation), matching
+    skimage ``graycoprops`` closed forms (FeatureExtractor.py:512-517).
+    Entities with <2 ordered rows produce no pairs and are absent, like the
+    reference's empty-compartment skip (:516-517 zero-fills only NaN stats
+    of *present* compartments).
+    """
+    pairs = glcm_pairs(df, level, keys, order, symmetric=symmetric)
+    hist = pairs.groupBy(*keys, "i", "j").agg(F.count("*").alias("c"))
+
+    c = F.col("c")
+    i, j = F.col("i").cast("long"), F.col("j").cast("long")
+    d2 = (i - j) * (i - j)
+    agg = hist.groupBy(*keys).agg(
+        F.sum(c).alias("_n"),
+        F.sum(c * d2).alias("_sij2"),
+        F.sum(c.cast("double") / (F.lit(1.0) + d2.cast("double"))).alias("_shom"),
+        F.sum(c * c).alias("_s2"),
+        F.sum(c * i).alias("_si"),
+        F.sum(c * i * i).alias("_sii"),
+        F.sum(c * i * j).alias("_sij"),
+    )
+
+    n = F.col("_n").cast("double")
+    nd = F.col("_n").cast(_DEC)
+    sid = F.col("_si").cast(_DEC)
+    var_num = nd * F.col("_sii").cast(_DEC) - sid * sid  # n²σ², exact
+    cov_num = nd * F.col("_sij").cast(_DEC) - sid * sid  # n²cov, exact
+    corr = F.when(var_num <= 0, F.lit(1.0)).otherwise(
+        cov_num.cast("double") / var_num.cast("double")
+    )
+    return agg.select(
+        *keys,
+        (F.col("_sij2").cast("double") / n).alias("contrast"),
+        (F.col("_shom") / n).alias("homogeneity"),
+        (F.sqrt(F.col("_s2").cast("double")) / n).alias("energy"),
+        corr.alias("correlation"),
+    )

@@ -39,7 +39,7 @@ def rowlevel_oracle(
         r["tok_max"] = [float(np.max(t)) for t in g["tokens"]]
         gap_prev = ts - ts.shift(1)
         r["gap_prev"] = gap_prev
-        boundary = gap_prev.isna() | (gap_prev > gap_seconds)
+        boundary = gap_prev.isna() | (gap_prev >= gap_seconds)
         r["session_id"] = boundary.cumsum() - 1
         # distance to nearest boundary row (two-sided, seconds)
         b_ts = ts.where(boundary)

@@ -31,14 +31,22 @@ def test_sessionize_gaps(spark):
 
 
 def test_sessionize_boundary_equality(spark):
-    """gap == gap_seconds does NOT split (strictly-greater semantics)."""
+    """gap == gap_seconds DOES split — session_window's half-open interval
+    (a session covers [start, start+gap) exclusive), so the batch labeler
+    matches the streaming dual at exact-gap boundaries."""
     from combinedfeatureextraction_spark.operators.sessionize import sessionize
 
     df = spark.createDataFrame(
-        pd.DataFrame({"k": "a", "ts": pd.to_datetime([0, 50], unit="s")})
+        pd.DataFrame({"k": "a", "ts": pd.to_datetime([0, 50, 99], unit="s")})
     )
-    out = sessionize(df, ["k"], "ts", 50).select("session_id").toPandas()
-    assert sorted(out["session_id"]) == [0, 0]
+    out = (
+        sessionize(df, ["k"], "ts", 50)
+        .orderBy("ts")
+        .select("session_id")
+        .toPandas()["session_id"]
+        .tolist()
+    )
+    assert out == [0, 1, 1]
 
 
 def test_forward_backward_fill(spark):
