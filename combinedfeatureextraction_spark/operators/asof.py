@@ -94,6 +94,9 @@ def asof_join(
 
 
 _GRID_K = 4  # max in-bucket ticks carried as fixed columns
+_GRID_MAX_BUILD = 500_000  # build rows beyond this → fall back to union
+_GRID_MAX_CELLS = 1 << 22  # dense (key × bucket) grid cap (~4M rows)
+_BCAST_MAX_BUILD = 2_000_000  # broadcast history rollup cap
 
 
 def _asof_grid(
@@ -121,6 +124,17 @@ def _asof_grid(
     import numpy as np
 
     spark = probe.sparkSession
+
+    def fallback() -> DataFrame:
+        return _asof_union(
+            probe, build, keys, probe_ts, build_ts, values,
+            allow_exact_matches, tolerance_seconds, salt=1,
+        )
+
+    # size guard BEFORE toPandas: a misused non-dim build side must get the
+    # shuffle plan, not a driver OOM. limit(n+1).count() short-circuits.
+    if build.limit(_GRID_MAX_BUILD + 1).count() > _GRID_MAX_BUILD:
+        return fallback()
     pdf = (
         # epoch seconds computed SPARK-side: pandas datetime64 unit (ns vs
         # µs) would silently shift the grid otherwise
@@ -149,14 +163,17 @@ def _asof_grid(
         b = np.minimum((ep - lo) / delta, n_buckets - 1).astype(np.int64)
         combo = key_ids * np.int64(n_buckets + 1) + b
         _, counts = np.unique(combo, return_counts=True)
-        if counts.max() <= _GRID_K or n_buckets >= 1 << 18:
+        if (
+            counts.max() <= _GRID_K
+            or n_buckets >= 1 << 18
+            or n_keys * (n_buckets * 2) > _GRID_MAX_CELLS
+        ):
             break
         n_buckets *= 2
     if counts.max() > _GRID_K:
-        raise ValueError(
-            "asof grid: build side too dense for the grid index "
-            f"(>{_GRID_K} ticks per minimal bucket); use strategy='union'"
-        )
+        # too dense for the grid index (duplicate-heavy ticks or the cell
+        # cap was hit) — the shuffle plan is the safe answer, not an error
+        return fallback()
     b_lo, b_hi = 0, int(b.max())
 
     # vectorized dense-grid construction (no per-row python):
@@ -178,15 +195,33 @@ def _asof_grid(
             grid_pdf[f"_x{i}_{v}"] = (
                 dense[(v, i)] if (v, i) in dense.columns else None
             )
-    # carry = last tick of the PREVIOUS bucket with any tick, per key
-    last_in_bucket = work.groupby(["_kid", "_b"], sort=False).last()
+    # carry = the most recent tick ROW from any earlier bucket, per key.
+    # Positional last (drop_duplicates keep='last' on the ts-sorted frame —
+    # groupby.last() skips NaN and would stitch the carry from different
+    # ticks) and whole-row propagation (per-column ffill would leak an
+    # older non-NULL value past a genuinely-NULL tick value).
+    last_in_bucket = work.drop_duplicates(["_kid", "_b"], keep="last").set_index(
+        ["_kid", "_b"]
+    )
     last_dense = last_in_bucket.reindex(dense_idx)
-    g = last_dense.groupby(level="_kid")
-    grid_pdf["_carry_ts"] = g["_ts"].shift(1).groupby(level="_kid").ffill().values
-    for v in values:
-        grid_pdf[f"_carry_{v}"] = (
-            g[v].shift(1).groupby(level="_kid").ffill().values
+    shifted = last_dense.groupby(level="_kid").shift(1)
+    is_tick = shifted["_ts"].notna()
+    tick_no = is_tick.groupby(level="_kid").cumsum()
+    ticks = shifted.loc[is_tick, ["_ts", *values]].copy()
+    ticks["_c"] = tick_no[is_tick]
+    carry = (
+        pd.DataFrame({"_c": tick_no}, index=dense_idx)
+        .reset_index()
+        .merge(
+            ticks.reset_index()[["_kid", "_c", "_ts", *values]],
+            on=["_kid", "_c"],
+            how="left",
+            sort=False,
         )
+    )
+    grid_pdf["_carry_ts"] = carry["_ts"].values
+    for v in values:
+        grid_pdf[f"_carry_{v}"] = carry[v].values
     grid_pdf = grid_pdf.reset_index().rename(columns={"_b": "_bucket"})
     kid_keys = work[["_kid", *keys]].drop_duplicates("_kid")
     grid_pdf = grid_pdf.merge(kid_keys, on="_kid", how="left").drop(columns=["_kid"])
@@ -273,7 +308,16 @@ def _asof_broadcast(
     reference analog: few region paths probed by many elements,
     extract_reference_features.py:110-133,397-400). Skew-immune: no
     partitioning by the (possibly 6-value, Zipf) key at all.
+
+    Guarded: a build side larger than _BCAST_MAX_BUILD rows falls back to
+    the union (shuffle) plan — collect_list per key over a fat build side
+    is an executor OOM, not an acceptable failure mode.
     """
+    if build.limit(_BCAST_MAX_BUILD + 1).count() > _BCAST_MAX_BUILD:
+        return _asof_union(
+            probe, build, keys, probe_ts, build_ts, values,
+            allow_exact_matches, tolerance_seconds, salt=1,
+        )
     hist = build.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(
@@ -316,17 +360,28 @@ def _asof_union(
     salt: int,
 ) -> DataFrame:
     ts_col = "__cfe_ts"
-    matched_ts = "__cfe_matched_ts"
+    pack = "__cfe_pack"
     probe_cols = probe.columns
     # at equal ts: build sorts BEFORE probe when exact matches are allowed
     build_tag, probe_tag = (0, 1) if allow_exact_matches else (1, 0)
 
+    # the matched build ROW travels as ONE struct (ts + values): filling the
+    # struct with last(ignorenulls) and projecting fields afterwards keeps a
+    # matched-but-NULL build value NULL instead of leaking the previous
+    # non-NULL value forward (merge_asof row semantics) — per-column fills
+    # diverge from the broadcast/cogroup strategies on NULL build values.
+    pack_type = T.StructType(
+        [T.StructField("_bts", T.DoubleType(), True)]
+        + [T.StructField(v, build.schema[v].dataType, True) for v in values]
+    )
     b = build.select(
         *keys,
         F.col(build_ts).alias(ts_col),
         F.lit(build_tag).alias(_TAG),
-        epoch_seconds(build_ts).alias(matched_ts),
-        *[F.col(v) for v in values],
+        F.struct(
+            epoch_seconds(build_ts).alias("_bts"),
+            *[F.col(v).alias(v) for v in values],
+        ).alias(pack),
     )
     # carry probe payload columns as nulls on the build side and vice versa
     payload = [c for c in probe_cols if c not in keys and c != probe_ts]
@@ -336,8 +391,7 @@ def _asof_union(
         *keys,
         F.col(probe_ts).alias(ts_col),
         F.lit(probe_tag).alias(_TAG),
-        F.lit(None).cast("double").alias(matched_ts),
-        *[F.lit(None).cast(build.schema[v].dataType).alias(v) for v in values],
+        F.lit(None).cast(pack_type).alias(pack),
         *[F.col(c) for c in payload],
     )
     u = p.unionByName(b)
@@ -374,18 +428,20 @@ def _asof_union(
         .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled_ts = F.last(matched_ts, ignorenulls=True).over(w)
-    out = u
-    for v in values:
-        out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    out = out.withColumn(matched_ts, filled_ts)
-    out = out.filter(F.col(_TAG) == probe_tag)
+    out = (
+        u.withColumn(pack, F.last(pack, ignorenulls=True).over(w))
+        .filter(F.col(_TAG) == probe_tag)
+    )
+    m = F.col(pack)
     if tolerance_seconds is not None:
-        stale = (epoch_seconds(ts_col) - F.col(matched_ts)) > F.lit(
+        stale = (epoch_seconds(ts_col) - m["_bts"]) > F.lit(
             float(tolerance_seconds)
         )
-        for v in values:
-            out = out.withColumn(v, F.when(stale, F.lit(None)).otherwise(F.col(v)))
+        m = F.when(stale, F.lit(None).cast(pack_type)).otherwise(m)
+        out = out.withColumn(pack, m)
+        m = F.col(pack)
+    for v in values:
+        out = out.withColumn(v, m[v])
     return out.select(
         *keys, F.col(ts_col).alias(probe_ts), *payload, *values
     )

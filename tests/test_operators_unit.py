@@ -136,6 +136,48 @@ def test_asof_strategies_match(spark):
     assert np.allclose(base, want, equal_nan=True)
 
 
+def test_asof_guards_fall_back_to_union(spark, monkeypatch):
+    """A too-large build side must get the shuffle (union) plan — with a
+    Window/sort — not a driver toPandas / executor collect_list OOM."""
+    from combinedfeatureextraction_spark.operators import asof as asof_mod
+
+    monkeypatch.setattr(asof_mod, "_GRID_MAX_BUILD", 5)
+    monkeypatch.setattr(asof_mod, "_BCAST_MAX_BUILD", 5)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 4, "ts": pd.to_datetime([5, 15, 25, 35], unit="s"),
+                      "pid": range(4)})
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 10, "ts": pd.to_datetime(range(0, 100, 10), unit="s"),
+                      "v": [float(x) for x in range(10)]})
+    )
+    for strat in ("grid", "broadcast"):
+        out = asof_mod.asof_join(probe, build, ["k"], "ts", "ts", ["v"], strategy=strat)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan, strat  # union plan signature
+        got = {r["pid"]: r["v"] for r in out.collect()}
+        assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_asof_grid_dense_build_falls_back(spark):
+    """>K ticks at one instant per key (minimal bucket can never satisfy
+    the K cap) — grid must fall back to union, not raise."""
+    from combinedfeatureextraction_spark.operators.asof import asof_join
+
+    build = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["a"] * 8,
+            "ts": pd.to_datetime([10] * 8, unit="s"),
+            "v": [float(i) for i in range(8)],
+        })
+    ).orderBy("v")
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": pd.to_datetime([20], unit="s")})
+    )
+    out = asof_join(probe, build, ["k"], "ts", "ts", ["v"], strategy="grid")
+    assert out.count() == 1  # no ValueError; duplicate-ts ambiguity caller-owned
+
+
 def test_asof_rejects_unknown_strategy(spark):
     from combinedfeatureextraction_spark.operators.asof import asof_join
 
@@ -234,6 +276,96 @@ def test_minhash_finds_planted_dup(spark):
         df, "id", "t", n=3, num_hashes=64, bands=16, threshold=0.5
     ).toPandas()
     assert {(0, 100)} == set(zip(out["id_a"], out["id_b"]))
+
+
+def test_simhash_finds_planted_dup(spark):
+    """Exact duplicate (hamming 0 ≤ 3 — inside the pigeonhole guarantee)
+    must be found; unrelated random docs (hamming ~64 of 128) must not."""
+    from combinedfeatureextraction_spark.operators.dedup import simhash_dedup
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(1000)]
+    texts = [" ".join(rng.choice(vocab, 80)) for _ in range(30)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((100, texts[0]))  # exact dup of doc 0
+    df = _df(spark, rows, "id long, t string")
+    out = simhash_dedup(df, "id", "t", max_hamming=3).toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 100)}
+    assert out["hamming"].tolist() == [0]
+
+
+def test_simhash_banding_pigeonhole(spark):
+    """The recall CONTRACT: any signature pair with hamming ≤ 3 of 128
+    bits is always a candidate (≥1 clean 32-bit chunk), even with flipped
+    bits placed adversarially across three different chunks."""
+    from combinedfeatureextraction_spark.operators.dedup import (
+        hamming128,
+        simhash_candidates,
+    )
+
+    base_lo, base_hi = 0x0123456789ABCDEF, -0x7EDCBA9876543211
+    flip = lambda w, b: w ^ (1 << b)  # noqa: E731
+    rows = [
+        (0, base_lo, base_hi),
+        # 3 bits flipped in 3 DIFFERENT chunks (worst case for 4 bands)
+        (1, flip(flip(base_lo, 3), 40), flip(base_hi, 7)),
+        # far signature: every chunk differs
+        (2, ~base_lo, ~base_hi),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "_id long, _sig_lo long, _sig_hi long"
+    )
+    cands = simhash_candidates(sigs).withColumn(
+        "hamming",
+        hamming128(
+            F.col("_sig_lo_a"), F.col("_sig_hi_a"),
+            F.col("_sig_lo_b"), F.col("_sig_hi_b"),
+        ),
+    ).toPandas()
+    got = set(zip(cands["id_a"], cands["id_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+    assert cands.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"] == 3
+
+
+def test_degenerate_bucket_capped(spark):
+    """1k identical docs: candidate volume must be O(N) star edges, not
+    O(N²) all-pairs — the LSH mega-bucket cap (VERDICT r1 scale hole)."""
+    from combinedfeatureextraction_spark.operators.dedup import (
+        hashed_shingle_sets,
+        minhash_lsh_candidates_from_sets,
+        simhash_dedup,
+    )
+
+    n = 1000
+    rows = [(i, "the same boilerplate text repeated for every document here")
+            for i in range(n)]
+    df = _df(spark, rows, "id long, t string")
+    sh = hashed_shingle_sets(df, "id", "t", n=3, persist=False)
+    cands = minhash_lsh_candidates_from_sets(sh, 32, 8)
+    c = cands.count()
+    assert c == n - 1  # star: every doc links to doc 0, nothing quadratic
+    assert cands.filter(F.col("id_a") == 0).count() == n - 1
+
+    ham = simhash_dedup(df, "id", "t").count()
+    assert ham == n - 1
+
+
+def test_minhash_star_edges_keep_connectivity(spark):
+    """Oversized bucket + clustering: all identical docs still land in ONE
+    component via star edges."""
+    from combinedfeatureextraction_spark.operators.dedup import dedup_clusters
+
+    rows = [(i, "identical doc body with plenty of words to shingle over")
+            for i in range(300)]
+    rows += [(1000 + i, f"unique doc {i} " + " ".join(f"tok{i}_{j}" for j in range(20)))
+             for i in range(5)]
+    df = _df(spark, rows, "id long, t string")
+    out = dedup_clusters(df, "id", "t", threshold=0.5).toPandas()
+    dup = out[out["id"] < 1000]
+    assert (dup["canonical_id"] == 0).all()
+    uniq = out[out["id"] >= 1000]
+    assert (uniq["canonical_id"] == uniq["id"]).all()
 
 
 def test_brute_force_topk_self_first(spark):
