@@ -827,6 +827,79 @@ def q_component_stats(spark, sf_dir):
     return agg.select("user_id", *[_r(c).alias(c) for c in stats])
 
 
+def q_deconvolution(spark, sf_dir):
+    """X2: color deconvolution (log-space 3×3 unmix) — the reference's
+    slowest per-pixel Python loop (PAS_deconvolution.py:67-89) as pure
+    codegen'd column arithmetic, VALUE-parity (scaled OD, clip, half-up
+    round). Channels synthesized deterministically from the events table."""
+    from combinedfeatureextraction_spark.functions.deconvolution import (
+        DEFAULT_STAIN_MATRIX,
+        unmix_channels,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        "event_id",
+        F.pmod(F.floor(F.col("value") * 7), F.lit(256)).cast("double").alias("r"),
+        F.pmod(F.floor(F.col("value") * 13), F.lit(256)).cast("double").alias("g"),
+        F.pmod(F.floor(F.col("value") * 29), F.lit(256)).cast("double").alias("b"),
+    )
+    u = unmix_channels(["r", "g", "b"], DEFAULT_STAIN_MATRIX)
+    return ch.select(
+        "event_id",
+        u[0].alias("stain1"),
+        u[1].alias("stain2"),
+        u[2].alias("stain3"),
+    )
+
+
+def q_polygon_features(spark, sf_dir):
+    """X7: in-UDF polygon rasterize → mask features (area/bbox/centroid).
+    Polygons synthesized as deterministic axis-aligned rectangles so the
+    DuckDB oracle has the closed form (rect mask area = w·h, centroid =
+    corner + half-extent) while the Spark side runs the REAL even-odd
+    scanline rasterizer (FeatureExtractor.py:313 analog); irregular-shape
+    parity is covered in tests/test_rasterize.py."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_mask_features,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
+    w, h = F.pmod(v * 3, F.lit(20)) + 1, F.pmod(v * 5, F.lit(20)) + 1
+    pts = F.array(
+        F.array(x0, y0),
+        F.array(x0 + w, y0),
+        F.array(x0 + w, y0 + h),
+        F.array(x0, y0 + h),
+    )
+    poly = emb.select("vec_id", pts.alias("points"))
+    out = polygon_mask_features(poly, "points", ["vec_id"])
+    return out.select(
+        "vec_id", "mask_area", "bbox_w", "bbox_h",
+        _r("centroid_x").alias("centroid_x"),
+        _r("centroid_y").alias("centroid_y"),
+    )
+
+
+def q_watershed_split(spark, sf_dir):
+    """W5 (complete): 1-D watershed — sessions split at value-valleys
+    between value-peaks (FeatureExtractor.py:346-354 marker-watershed
+    analog), Arrow-batched applyInPandas per entity bucket. Rows-only by
+    design: the peak/plateau/valley cascade is the in-UDF operator SURVEY
+    §7 assigns to UDF space; parity is proven against an independent
+    numpy oracle in tests/test_watershed.py."""
+    from combinedfeatureextraction_spark.operators.watershed import (
+        watershed_split,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", GAP)
+    out = watershed_split(s, ["user_id"], "ts", "value")
+    return out.select("event_id", "user_id", "session_id", "subsession_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rolling_window": q_rolling_window,
@@ -890,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile": q_ntile,
         "glcm_stats": q_glcm_stats,
         "component_stats": q_component_stats,
+        "watershed_split": q_watershed_split,
+        "deconvolution": q_deconvolution,
+        "polygon_features": q_polygon_features,
     }
 
 
@@ -916,6 +992,45 @@ _SESSION_ID_SQL = f"""
 _DIGEST_SQL = """CAST(coalesce(list_sum(list_transform(embedding,
   (x, i) -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) * i)), 0)
   AS BIGINT)"""
+
+def _deconvolution_sql() -> str:
+    """DuckDB dual of q_deconvolution with the SAME double constants the
+    Spark plan folds in (inlined from numpy — engine-local ln(255) could
+    differ in the last ulp)."""
+    import numpy as np
+
+    from combinedfeatureextraction_spark.functions.deconvolution import (
+        DEFAULT_STAIN_MATRIX,
+    )
+
+    m = np.asarray(DEFAULT_STAIN_MATRIX)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    minv = np.linalg.inv(m)
+    logmax = float(np.log(255.0))
+    od = {
+        c: f"(-(255.0 * ln((({c}) + 1.0) / 255.0)) / {logmax!r})"
+        for c in ("r", "g", "b")
+    }
+    outs = []
+    for j, name in enumerate(("stain1", "stain2", "stain3")):
+        acc = " + ".join(
+            f"{float(minv[i, j])!r} * {od[c]}"
+            for i, c in enumerate(("r", "g", "b"))
+        )
+        outs.append(
+            f"CAST(floor(least(exp(-(({acc}) - 255.0) * {logmax!r} / 255.0), "
+            f"255.0) + 0.5) AS BIGINT) AS {name}"
+        )
+    chan = ", ".join(
+        f"CAST(((CAST(floor(value * {k}) AS BIGINT) % 256) + 256) % 256 "
+        f"AS DOUBLE) AS {c}"
+        for c, k in (("r", 7), ("g", 13), ("b", 29))
+    )
+    return f"""
+WITH ch AS (SELECT event_id, {chan} FROM events)
+SELECT event_id, {outs[0]}, {outs[1]}, {outs[2]} FROM ch
+"""
+
 
 _QUALITY_SQL = """
   SELECT doc_id,
@@ -1423,6 +1538,21 @@ SELECT user_id,
   round(coalesce(min(f_asp), 0), 6)                    AS session_aspect_min,
   round(coalesce(max(f_asp), 0), 6)                    AS session_aspect_max
 FROM m GROUP BY user_id
+""",
+        "deconvolution": _deconvolution_sql(),
+        "polygon_features": """
+WITH g AS (
+  SELECT vec_id,
+    vec_id * 7 % 50 AS x0, vec_id * 13 % 50 AS y0,
+    vec_id * 3 % 20 + 1 AS w, vec_id * 5 % 20 + 1 AS h
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(w * h AS BIGINT) AS mask_area,
+  CAST(w AS INT) AS bbox_w, CAST(h AS INT) AS bbox_h,
+  round(x0 + w / 2.0, 6) AS centroid_x,
+  round(y0 + h / 2.0, 6) AS centroid_y
+FROM g
 """,
         # minhash_dedup / simhash_dedup / lsh_topk / otsu / media_features /
         # connected_components: intentionally no oracle (xxhash64 / LSH

@@ -7,10 +7,17 @@ implemented there as a per-pixel Python ``for`` loop
 (fextract/extraction_utils/PAS_deconvolution.py:67-89, the single slowest
 kernel in the repo; stain matrix constants run_pathomic_fe.py:11-25).
 
-Engine form: OD = -log((x+1)/maxval); unmixed = M⁻¹ · OD; back to
-intensity = maxval·exp(-unmixed). All plain codegen'd column arithmetic —
-zero per-row Python, linear scan, no shuffle. The 3×3 inverse is computed
-once driver-side in numpy (constants fold into the plan).
+Engine form — VALUE PARITY with the reference kernel
+(PAS_deconvolution.py:72-89):
+    OD_c  = -(maxval·log((x_c+1)/maxval)) / log(maxval)
+    acc_j = Σ_c q[j,c]·OD_c        (q = inverse of the normalized matrix)
+    out_j = round(min(exp(-(acc_j - maxval)·log(maxval)/maxval), maxval))
+(round = floor(x+0.5), the reference's half-up). All plain codegen'd
+column arithmetic — zero per-row Python, linear scan, no shuffle. The 3×3
+inverse is computed once driver-side in numpy (constants fold into the
+plan; the reference's hand-rolled elimination at :48-57 computes the same
+inverse). The reference's degenerate zero-vector stain fixups (:21-40)
+are out of scope — callers pass complete stain matrices.
 """
 
 from __future__ import annotations
@@ -34,15 +41,19 @@ def unmix_channels(
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     minv = np.linalg.inv(m / norms)
+    logmax = float(np.log(maxval))
     od = [
-        -F.log((c.cast("double") + F.lit(1.0)) / F.lit(maxval)) for c in cols
+        -(F.lit(maxval) * F.log((c.cast("double") + F.lit(1.0)) / F.lit(maxval)))
+        / F.lit(logmax)
+        for c in cols
     ]
     out = []
     for j in range(minv.shape[1]):
         acc = F.lit(0.0)
         for i in range(minv.shape[0]):
             acc = acc + F.lit(float(minv[i, j])) * od[i]
-        out.append(F.lit(maxval) * F.exp(-acc))
+        raw = F.exp(-(acc - F.lit(maxval)) * F.lit(logmax) / F.lit(maxval))
+        out.append(F.floor(F.least(raw, F.lit(maxval)) + F.lit(0.5)))
     return out
 
 

@@ -5,11 +5,11 @@ Two tiers:
    (queries ≪ corpus always at 100 TB), so the corpus never shuffles —
    one scan, per-partition partial top-k via the window, AQE-coalesced.
  - ``lsh_topk``: random-hyperplane LSH. Hyperplanes are generated
-   driver-side from a fixed seed and folded into the plan as literal
-   arrays; each vector gets a signature bucket; candidates = same bucket
-   in ≥1 of ``tables`` hash tables; exact cosine re-rank inside buckets.
-   Corpus shuffles once on (table, bucket) — signatures only, vectors
-   carried once.
+   driver-side from a fixed seed; signatures for ALL tables are computed
+   in one Arrow-batched numpy matmul per batch (see _bucket_udf for why
+   not column expressions); candidates = same bucket in ≥1 of ``tables``
+   hash tables; exact cosine re-rank inside buckets. Corpus is scanned
+   once and shuffles only (id, table, bucket) tuples.
 
 This is the engine's IVF/LSH "scale path" (task brief): recall tunable via
 (bits, tables), exactness recovered as bits→0.

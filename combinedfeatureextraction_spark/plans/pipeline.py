@@ -146,7 +146,8 @@ def rowlevel_features(
             df = df.withColumnRenamed(f"roll{k}_roll_{s}", f"roll{k}_{s}")
     df = sessionize(df, keys, "ts", gap_seconds)
     df = df.withColumnRenamed("_gap_prev", "gap_prev")
-    boundary = F.col("gap_prev").isNull() | (F.col("gap_prev") > F.lit(gap_seconds))
+    # >= : same half-open boundary as sessionize (session_window parity)
+    boundary = F.col("gap_prev").isNull() | (F.col("gap_prev") >= F.lit(gap_seconds))
     df = distance_to_boundary(df, boundary, keys, "ts")
     # jumbo-row bailout (F8 skew guard, extract_reference_features.py:447):
     # heavy derived stats nulled for outlier payloads, row still emitted

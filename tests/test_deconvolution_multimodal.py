@@ -29,13 +29,18 @@ def test_unmix_matches_numpy(spark):
         .toPandas()
         .values
     )
-    # numpy oracle: same math, vectorized
+    # numpy oracle: a direct vectorization of the reference loop
+    # (PAS_deconvolution.py:72-89), including scaled OD, the -255 offset,
+    # the 255 clip and the floor(x+0.5) rounding
     m = np.asarray(DEFAULT_STAIN_MATRIX)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     minv = np.linalg.inv(m)
-    od = -np.log((pdf.values + 1.0) / 255.0)
-    want = 255.0 * np.exp(-(od @ minv))
-    assert np.allclose(got, want, rtol=1e-9)
+    log255 = np.log(255.0)
+    od = -(255.0 * np.log((pdf.values + 1.0) / 255.0)) / log255
+    acc = od @ minv
+    want = np.exp(-(acc - 255.0) * log255 / 255.0)
+    want = np.floor(np.minimum(want, 255.0) + 0.5)
+    assert np.array_equal(got, want)
 
 
 def test_media_feature_plumbing(spark):

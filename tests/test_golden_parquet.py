@@ -41,7 +41,7 @@ def test_engine_reproduces_golden_parquet(spark):
         .sort_values(["doc_id", "seq_idx"], kind="mergesort")
         .reset_index(drop=True)
     )
-    assert len(got) == len(want) > 10_000 * 0  # non-trivial fixture
+    assert len(got) == len(want) > 5_000  # non-trivial fixture
     assert (got["doc_id"].values == want["doc_id"].values).all()
     for col in feat_cols:
         g = got[col].astype("float64").values
