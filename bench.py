@@ -45,9 +45,12 @@ def main() -> None:
         "asof_join_grid", "geodesic_flood", "zscore",
         "six_stat_hierarchy", "weighted_mean", "interval_join",
         "percent_rank", "topk",
+        "glcm_stats", "component_stats", "watershed_split",
+        "deconvolution",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
-        "embedding_topk", "text_quality", "fingerprint", "salted_agg",
+        "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
+        "salted_agg",
     ]
     # warm the JVM/parquet footer caches once with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()

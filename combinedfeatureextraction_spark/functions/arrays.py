@@ -49,6 +49,32 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    """Cosine similarity for KNOWN-dim vectors as one unrolled SQL
+    expression — bitwise-identical summation order to ``cosine`` (left
+    fold) but pure codegen: interpreted higher-order lambdas contend
+    across local[32] threads (measured 45 µs/row in the LSH re-rank),
+    while ~3·dim unrolled terms compile in milliseconds and scale
+    linearly. Use in hot paths where dim is part of the operator config
+    (ANN re-rank); ``cosine`` remains the dim-agnostic general form."""
+    dot = " + ".join(
+        f"CAST({a}[{k}] AS DOUBLE) * CAST({b}[{k}] AS DOUBLE)"
+        for k in range(dim)
+    )
+    na = " + ".join(
+        f"CAST({a}[{k}] AS DOUBLE) * CAST({a}[{k}] AS DOUBLE)"
+        for k in range(dim)
+    )
+    nb = " + ".join(
+        f"CAST({b}[{k}] AS DOUBLE) * CAST({b}[{k}] AS DOUBLE)"
+        for k in range(dim)
+    )
+    return F.expr(
+        f"CASE WHEN sqrt({na}) * sqrt({nb}) = 0 THEN 0.0 "
+        f"ELSE ({dot}) / (sqrt({na}) * sqrt({nb})) END"
+    )
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     """cosine similarity; 0 when either norm is 0 (NaN-coalesce discipline,
     FeatureExtractor.py:611-614)."""

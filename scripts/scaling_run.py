@@ -67,7 +67,8 @@ def prepare() -> None:
         F.col("id").alias("vec_id"),
         F.expr(
             f"transform(sequence(0, {VEC_DIM - 1}), "
-            "j -> CAST(pmod(xxhash64(id, j), 100000) AS DOUBLE) / 50000.0 - 1.0)"
+            "j -> CAST(CAST(pmod(xxhash64(id, j), 100000) AS DOUBLE) / 50000.0 "
+            "- 1.0 AS FLOAT))"  # float32: the embeddings-table element type
         ).alias("embedding"),
     )
     vecs.write.mode("overwrite").parquet(str(VECS_DIR))

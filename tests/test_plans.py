@@ -75,3 +75,19 @@ def test_asof_union_single_exchange(spark, seqs_df, states_df):
     # union sorted-merge: exactly one hash exchange (on the key), no join
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan
+
+
+def test_glcm_single_exchange(spark, seqs_df):
+    """GLCM: the window's entity hash exchange must satisfy BOTH downstream
+    groupBys (pair histogram keys are a superset of the entity key, and
+    the final agg keys ARE the entity key) — one exchange end-to-end, both
+    aggregates map-side partial."""
+    from combinedfeatureextraction_spark.operators.texture import (
+        glcm_texture,
+        quantize_level,
+    )
+
+    df = seqs_df.withColumn("lvl", quantize_level("n_tok", 16))
+    plan = _plan(glcm_texture(df, "lvl", ["doc_id"], ["ts"]))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"HashAggregate.*partial", plan)) == 2, plan
