@@ -373,6 +373,20 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, "vec_id", "embedding", k=5, bits=6, tables=4)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """ANN scale path #2: IVF (coarse kmeans quantizer + nprobe lists +
+    exact re-rank). Rows-only by design: kmeans assignment is iterative /
+    data-dependent, not one ANSI statement; recall vs brute force is
+    asserted in tests/test_operators_unit.py."""
+    from combinedfeatureextraction_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4)
+
+
 def q_payload_passthrough(spark, sf_dir):
     """S4: payload survives the scan byte-identical. The driver's hasher
     cannot hash raw array cells, so project an order-sensitive integer
@@ -966,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed_split": q_watershed_split,
         "deconvolution": q_deconvolution,
         "polygon_features": q_polygon_features,
+        "ivf_topk": q_ivf_topk,
     }
 
 

@@ -98,7 +98,14 @@ def main() -> None:
             "speedup_8_to_32": sc["speedup_8_to_32"],
             "efficiency_N_to_4N": sc["scaling_efficiency_NtoN4"],
         }
-        for k in ("core_speedup_8_to_32", "core_scaling_efficiency_NtoN4"):
+        for k in (
+            "core_speedup_8_to_32",
+            "core_scaling_efficiency_NtoN4",
+            "decode_scaling_efficiency_NtoN4",
+            "expected_full_efficiency_from_decomposition",
+            "lsh_topk_speedup_8_to_32",
+            "lsh_topk_scaling_efficiency_NtoN4",
+        ):
             if k in sc:
                 out["scaling"][k] = sc[k]
     print(json.dumps(out))

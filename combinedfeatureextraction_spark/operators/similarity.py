@@ -113,6 +113,124 @@ def _bucket_map(planes: np.ndarray, id_col: str, vec_col: str):
     return run
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, n_lists: int, iters: int, seed: int
+) -> np.ndarray:
+    """Deterministic mini-kmeans on a driver-side sample (numpy Lloyd
+    iterations). The coarse quantizer of an IVF index is small by design
+    (≤ a few thousand centroids); training it on a bounded sample
+    driver-side is the standard construction (FAISS-style)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cents = sample[idx].astype(np.float64)
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine-ish: vectors assumed ~normalized
+        assign = d.argmax(axis=1)
+        for c in range(len(cents)):
+            m = sample[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cents / norms
+
+
+def _ivf_assign_map(cents: np.ndarray, id_col: str, nprobe: int):
+    """mapInArrow: (id, vec) → (id, _lists array<long>) — the nprobe
+    nearest coarse centroids per vector (one matmul per batch)."""
+    import pyarrow as pa
+
+    n_lists, dim = cents.shape
+    centsT = cents.T.copy()
+
+    def run(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vals = pa.compute.list_flatten(b.column(1)).to_numpy(
+                zero_copy_only=False
+            )
+            m = vals.reshape(n, dim).astype(np.float64, copy=False)
+            d = m @ centsT  # (n, n_lists)
+            k = min(nprobe, n_lists)
+            top = np.argpartition(-d, k - 1, axis=1)[:, :k].astype(np.int64)
+            offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+            lists = pa.ListArray.from_arrays(offsets, pa.array(top.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), lists], names=[id_col, "_lists"]
+            )
+
+    return run
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_lists: int = 64,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    train_sample: int = 10_000,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path beside LSH:
+    a coarse kmeans quantizer (trained driver-side on a bounded sample)
+    assigns every corpus vector to its nearest list; a query probes its
+    ``nprobe`` nearest lists and exact-cosine re-ranks the union.
+
+    Plan shape mirrors lsh_topk: corpus scanned twice, shuffled never
+    (assignment via mapInArrow matmul emitting (id, lists); candidate
+    vectors fetched by broadcast semi-join); recall is tuned by
+    (n_lists, nprobe), exactness recovered as nprobe→n_lists."""
+    sample_pdf = (
+        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col]
+    )
+    sample = np.stack(sample_pdf.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _kmeans_centroids(sample / norms, n_lists, kmeans_iters, seed)
+
+    def assign(df: DataFrame, idc: str, probes: int) -> DataFrame:
+        narrow = df.select(F.col(idc), F.col(vec_col))
+        id_t = narrow.schema[idc].dataType.simpleString()
+        mapped = narrow.mapInArrow(
+            _ivf_assign_map(cents, idc, probes),
+            f"{idc} {id_t}, _lists array<long>",
+        )
+        return mapped.select(idc, F.explode("_lists").alias("_list"))
+
+    cb = assign(corpus, id_col, 1)  # corpus rows live in ONE list
+    qb = assign(queries, query_id_col, nprobe)
+    pairs = (
+        cb.join(F.broadcast(qb), "_list")
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    cand_ids = pairs.select(id_col).distinct()
+    cand_vecs = corpus.select(id_col, vec_col).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    scored = (
+        cand_vecs.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("cos_sim", cosine_fixed(vec_col, "_qvec", dim))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

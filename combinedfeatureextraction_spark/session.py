@@ -41,9 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for every pandas UDF / toPandas hop
+        # Arrow for every pandas UDF / toPandas hop. 64k-row batches: the
+        # 10k default makes the Python boundary IPC-roundtrip-bound —
+        # measured 4.3 s vs 3.2 s (vs 2.1 s pure-JVM) for the LSH matmul
+        # scan of 8M vectors at local[32]; per-batch numpy work amortizes
+        # with batch size.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("CFE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -33,7 +33,7 @@ FIXTURE_DIR = REPO / ".fixtures" / "bench_sequences"
 STATES_DIR = REPO / ".fixtures" / "bench_states"
 VECS_DIR = REPO / ".fixtures" / "bench_vectors"
 N_DOCS = int(os.environ.get("CFE_BENCH_DOCS", "250000"))  # ~23M rows
-N_VECS = int(os.environ.get("CFE_BENCH_VECS", "2000000"))
+N_VECS = int(os.environ.get("CFE_BENCH_VECS", "8000000"))
 VEC_DIM = 64
 SEED = 42
 
@@ -112,70 +112,83 @@ def run(cpus: int) -> dict:
     # best-of-3 in-JVM reps: the sandbox host shows ±50% minute-to-minute
     # noise (shared tenancy), and the best rep is the closest estimate of
     # the job's true cost at each core count.
-    walls = []
-    for _ in range(int(os.environ.get("CFE_SCALE_REPS", "2" if cpus <= 8 else "4"))):
-        t0 = time.time()
-        feat = rowlevel_features(seqs, states, carry_payload=False)
-        feat.write.format("noop").mode("overwrite").save()
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    # "core" variant: windows + sessionize + as-of only (token_stats=False
-    # → parquet prunes the payload column): isolates operator scaling from
-    # the single-host payload-decode bandwidth floor
-    walls_core = []
-    for _ in range(int(os.environ.get("CFE_SCALE_REPS", "2" if cpus <= 8 else "4"))):
-        t0 = time.time()
-        core = rowlevel_features(
+    # All variants are timed INTERLEAVED within each rep (full, core,
+    # decode, lsh, then the next rep) with best-of-R per variant: the
+    # sandbox host shows ±50% noise drifting over MINUTES, so phase-by-
+    # phase timing lets a slow window poison one variant and not another
+    # (observed: "core" 19% slower than the strictly-heavier "full").
+    from combinedfeatureextraction_spark.operators.similarity import lsh_topk
+
+    vecs = spark.read.parquet(str(VECS_DIR))
+    n_vecs = vecs.count()
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def t_full():
+        rowlevel_features(seqs, states, carry_payload=False).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def t_core():
+        # windows + sessionize + as-of only (token_stats=False → parquet
+        # prunes the payload column): isolates operator scaling from the
+        # single-host payload-decode bandwidth floor
+        rowlevel_features(
             seqs, states, carry_payload=False, token_stats=False
-        )
-        core.write.format("noop").mode("overwrite").save()
-        walls_core.append(time.time() - t0)
-    wall_core = min(walls_core)
-    # wide (enriched-rows) variant for reference — payload rides the window
-    # shuffle; expected to be bandwidth-bound (skip with CFE_SCALE_WIDE=0)
-    if os.environ.get("CFE_SCALE_WIDE", "1") != "0":
-        t1 = time.time()
-        wide = rowlevel_features(seqs, states, carry_payload=True)
-        wide.write.format("noop").mode("overwrite").save()
-        wall_wide = time.time() - t1
-    else:
-        wall_wide = float("nan")
-    # payload-decode floor: scan + per-row array_min/max ONLY (no join, no
-    # shuffle, no window) — quantifies how much of the full-variant wall is
-    # the single-host parquet-decode / memory-bus component and how IT
-    # scales 8→32. full ≈ decode ∪ core, so expected full efficiency =
-    # (decode8+core8)/(decode32+core32)/4 — reported by run_all.
-    walls_decode = []
-    for _ in range(int(os.environ.get("CFE_SCALE_REPS", "2" if cpus <= 8 else "4"))):
-        t0 = time.time()
+        ).write.format("noop").mode("overwrite").save()
+
+    def t_decode():
+        # payload-decode floor: scan + per-row array_min/max ONLY — how
+        # much of the full wall is parquet-decode / memory-bus, and how IT
+        # scales. full ≈ decode + core ⇒ expected full efficiency =
+        # (decode8+core8)/(decode32+core32)/4 — reported by run_all.
         seqs.select(
             "doc_id", "seq_idx",
             F.array_min("tokens").cast("double").alias("tok_min"),
             F.array_max("tokens").cast("double").alias("tok_max"),
         ).write.format("noop").mode("overwrite").save()
-        walls_decode.append(time.time() - t0)
-    wall_decode = min(walls_decode)
-    # ANN/LSH top-k scaling probe (VERDICT r1: must not inverse-scale)
-    from combinedfeatureextraction_spark.operators.similarity import lsh_topk
 
-    vecs = spark.read.parquet(str(VECS_DIR))
-    queries = vecs.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    walls_lsh = []
-    for _ in range(2):
-        t0 = time.time()
+    def t_lsh():
+        # ANN/LSH top-k scaling probe (VERDICT r1: must not inverse-scale)
         lsh_topk(
             vecs, queries, "vec_id", "embedding", k=10, bits=10, tables=4
         ).write.format("noop").mode("overwrite").save()
-        walls_lsh.append(time.time() - t0)
-    wall_lsh = min(walls_lsh)
-    n_vecs = vecs.count()
+
+    def t_wide():
+        # enriched-rows: payload rides the window shuffle (bandwidth-bound)
+        rowlevel_features(seqs, states, carry_payload=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    variants = {"full": t_full, "core": t_core, "decode": t_decode, "lsh": t_lsh}
+    if os.environ.get("CFE_SCALE_WIDE", "1") != "0":
+        variants["wide"] = t_wide
+    only = os.environ.get("CFE_SCALE_ONLY")
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only.split(",")}
+    reps = int(os.environ.get("CFE_SCALE_REPS", "3"))
+    walls: dict[str, list[float]] = {k: [] for k in variants}
+    for rep in range(reps):
+        for name, fn in variants.items():
+            if name == "wide" and rep > 0:
+                continue  # reference number only — keep total wall bounded
+            t0 = time.time()
+            fn()
+            walls[name].append(time.time() - t0)
+    def best(name: str) -> float:
+        return min(walls[name]) if walls.get(name) else float("nan")
+
+    wall = best("full")
+    wall_core = best("core")
+    wall_decode = best("decode")
+    wall_lsh = best("lsh")
+    wall_wide = best("wide")
     out = {
         "cpus": cpus,
         "rows": n_rows,
         "wall_sec": round(wall, 2),
-        "wall_sec_reps": [round(w, 2) for w in walls],
+        "wall_sec_reps": [round(w, 2) for w in walls.get("full", [])],
         "rows_per_sec": round(n_rows / wall, 1),
         "core_wall_sec": round(wall_core, 2),
         "core_rows_per_sec": round(n_rows / wall_core, 1),

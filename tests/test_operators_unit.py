@@ -385,6 +385,37 @@ def test_brute_force_topk_self_first(spark):
     assert firsts[0] == 0 and firsts[1] == 1  # self is nearest
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with full probing (nprobe == n_lists) must equal brute force
+    exactly; with partial probing the true top-1 (self) must survive."""
+    from combinedfeatureextraction_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(29)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(df, q, "vec_id", "embedding", k=5, dim=16).toPandas()
+    full = ivf_topk(
+        df, q, "vec_id", "embedding", k=5, n_lists=8, nprobe=8, dim=16
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        exact.sort_values(key)[["query_id", "vec_id", "rank"]].values.tolist()
+        == full.sort_values(key)[["query_id", "vec_id", "rank"]].values.tolist()
+    )
+    part = ivf_topk(
+        df, q, "vec_id", "embedding", k=5, n_lists=8, nprobe=2, dim=16
+    ).toPandas()
+    firsts = part[part["rank"] == 1].set_index("query_id")["vec_id"]
+    assert firsts[0] == 0 and firsts[1] == 1 and firsts[2] == 2
+
+
 def test_interval_overlap_join(spark):
     from combinedfeatureextraction_spark.operators.joins import (
         interval_overlap_join,
