@@ -797,6 +797,82 @@ def q_normalize_embedding(spark, sf_dir):
     return emb.select("vec_id", payload_digest(unit).alias("unit_digest"))
 
 
+def q_streaming_asof(spark, sf_dir):
+    """Streaming point-in-time enrichment: the purchases PROBE arrives as
+    a stream and is enriched against the static error-tick history by the
+    stateless broadcast-grid as-of (streaming.enrich) — identical result
+    (and identical DuckDB ASOF JOIN oracle) to the batch asof_join."""
+    from combinedfeatureextraction_spark.streaming.enrich import (
+        streaming_asof_enrich,
+    )
+
+    ev_schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = streaming_asof_enrich(
+        stream, _errors(spark, sf_dir), keys=["user_id"],
+        probe_ts="ts", build_ts="ts", values=["err_value"],
+    ).select("event_id", "user_id", "ts", "value", "err_value")
+    name = "cfe_stream_asof"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the content
+    hash) aggregated to per-language survivor counts — the counts are
+    deterministic (one survivor per distinct text) even though WHICH
+    duplicate row survives is first-arrival."""
+    from combinedfeatureextraction_spark.streaming.enrich import (
+        streaming_exact_dedup,
+    )
+
+    docs_schema = _t(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        # documents carry no event time; derive a deterministic one so the
+        # watermark horizon is well-defined. Offset away from epoch 0:
+        # a row AT 1970-01-01T00:00:00 falls on the state store's initial
+        # watermark boundary and is dropped as late data.
+        .withColumn(
+            "ts", F.timestamp_seconds(F.col("doc_id") + F.lit(1_000_000_000))
+        )
+    )
+    # composite (lang, text) key so the per-lang survivor counts are
+    # deterministic even when the same text appears under two langs
+    surv = streaming_exact_dedup(
+        stream, ["lang", "text"], "ts", watermark="3650 days"
+    )
+    name = "cfe_stream_dedup"
+    q = (
+        surv.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_distinct_docs"))
+    )
+
+
 def q_glcm_stats(spark, sf_dir):
     """W1 (complete): GLCM texture statistics — contrast/homogeneity/
     energy/correlation from the symmetric offset-1 co-occurrence histogram
@@ -981,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deconvolution": q_deconvolution,
         "polygon_features": q_polygon_features,
         "ivf_topk": q_ivf_topk,
+        "streaming_asof": q_streaming_asof,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1120,6 +1198,11 @@ FROM (
         "asof_join_salted": _ASOF_SQL,
         "asof_join_cogroup": _ASOF_SQL,
         "asof_join_grid": _ASOF_SQL,
+        "streaming_asof": _ASOF_SQL,
+        "streaming_dedup": """
+SELECT lang, count(DISTINCT text) AS n_distinct_docs
+FROM documents GROUP BY lang
+""",
         "asof_tolerance": """
 SELECT p.event_id, p.user_id,
   CASE WHEN epoch(p.ts) - epoch(b.ts) > 900 THEN NULL ELSE b.value END
