@@ -580,8 +580,8 @@ def q_geodesic_flood(spark, sf_dir):
 def q_connected_components(spark, sf_dir):
     """W4/W6 graph form: components over an edge list built from events
     (consecutive events of a user within 5 min are linked). Iterative
-    min-label propagation with localCheckpoint — rows-only check (fixpoint
-    loops are not single-statement ANSI SQL)."""
+    min-label propagation with localCheckpoint; oracled against a DuckDB
+    RECURSIVE CTE transitive closure (min reachable id per node)."""
     from combinedfeatureextraction_spark.operators.fixpoint import (
         connected_components,
     )
@@ -1652,10 +1652,64 @@ SELECT vec_id,
   round(y0 + h / 2.0, 6) AS centroid_y
 FROM g
 """,
-        # minhash_dedup / simhash_dedup / lsh_topk / otsu / media_features /
-        # connected_components: intentionally no oracle (xxhash64 / LSH
-        # randomness / stubbed codec / iterative fixpoint are not
-        # single-statement ANSI SQL) → driver rows-only check.
+        # Otsu: the whole two-pass method (histogram, cumulative moments,
+        # between-class-variance argmax with numpy's first-max tie-break,
+        # then the filter) IS one SQL statement — cumulative sums run in
+        # the same b-ascending order as np.cumsum so the doubles match.
+        "otsu": """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+h AS (
+  SELECT least(CAST(floor((value - mm.lo) / ((mm.hi - mm.lo) / 64.0)) AS INT), 63) AS b,
+         count(*) AS c
+  FROM events, mm GROUP BY 1
+),
+hd AS (
+  SELECT t.b, coalesce(h.c, 0) AS c,
+    (SELECT lo FROM mm) + (t.b + 0.5) * (((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 64.0) AS center
+  FROM (SELECT range AS b FROM range(64)) t LEFT JOIN h ON h.b = t.b
+),
+cum AS (
+  SELECT b, center,
+    sum(c) OVER (ORDER BY b) AS w0,
+    sum(c * center) OVER (ORDER BY b) AS m0,
+    sum(c) OVER () AS n, sum(c * center) OVER () AS m
+  FROM hd
+),
+v AS (
+  SELECT b, center,
+    CASE WHEN w0 > 0 AND (n - w0) > 0
+      THEN w0 * (n - w0) * ((m0 / w0) - ((m - m0) / (n - w0)))
+                         * ((m0 / w0) - ((m - m0) / (n - w0)))
+      ELSE 0 END AS vb
+  FROM cum
+),
+thr AS (SELECT center FROM v ORDER BY vb DESC, b ASC LIMIT 1)
+SELECT event_id, value FROM events WHERE value > (SELECT center FROM thr)
+""",
+        # connected components: min-label fixpoint = transitive closure —
+        # a recursive CTE (UNION dedups, so it terminates), then min per id.
+        "connected_components": """
+WITH RECURSIVE base AS (
+  SELECT lag(event_id) OVER (PARTITION BY user_id ORDER BY ts) AS src,
+         event_id AS dst,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+),
+e0 AS (SELECT src, dst FROM base WHERE src IS NOT NULL AND gap <= 300),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+n AS (SELECT DISTINCT src AS id FROM e),
+reach(id, comp) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+)
+SELECT id, min(comp) AS component FROM reach GROUP BY id
+""",
+        # minhash_dedup / simhash_dedup / lsh_topk / ivf_topk /
+        # media_features / watershed_split / dedup_clusters / approx_stats:
+        # intentionally no oracle (xxhash64 / LSH randomness / kmeans /
+        # stubbed codec / peak-valley scan are not single-statement ANSI
+        # SQL) → driver rows-only check.
     }
 
 
