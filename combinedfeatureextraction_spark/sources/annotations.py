@@ -116,6 +116,101 @@ def parse_annotations(
     )
 
 
+XML_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Annotation",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("_Id", T.StringType()),
+                        T.StructField("_Type", T.StringType()),
+                        T.StructField(
+                            "Regions",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "Region",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("_Id", T.StringType()),
+                                                    T.StructField(
+                                                        "Vertices",
+                                                        T.StructType(
+                                                            [
+                                                                T.StructField(
+                                                                    "Vertex",
+                                                                    T.ArrayType(
+                                                                        T.StructType(
+                                                                            [
+                                                                                T.StructField("_X", T.DoubleType()),
+                                                                                T.StructField("_Y", T.DoubleType()),
+                                                                            ]
+                                                                        )
+                                                                    ),
+                                                                )
+                                                            ]
+                                                        ),
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                    )
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_xml_annotations(
+    df: DataFrame,
+    raw_col: str = "raw",
+    slide_col: str = "slide_id",
+) -> DataFrame:
+    """Aperio-XML → one row per (slide, annotation layer, region) — the
+    reference's second input format
+    (extraction_utils/xml_to_mask_minmax.py:51-67 iterates
+    Annotation→Regions/Region→Vertices/Vertex; layer key = Annotation@Id
+    ∈ '1'..'6', extract_reference_features.py:49-63). Declarative
+    ``from_xml`` with an explicit schema; output shape matches
+    parse_annotations (points array<array<double>>) so the degenerate
+    guard / geometry / rasterizer downstream are shared."""
+    docs = df.select(
+        F.col(slide_col).alias("slide_id"),
+        F.from_xml(F.col(raw_col), XML_SCHEMA).alias("_d"),
+    )
+    layers = docs.select(
+        "slide_id", F.explode("_d.Annotation").alias("_a")
+    ).select(
+        "slide_id",
+        F.col("_a._Id").alias("annotation_id"),
+        F.col("_a._Type").alias("annotation_type"),
+        F.col("_a.Regions.Region").alias("_regions"),
+    )
+    return layers.select(
+        "slide_id",
+        "annotation_id",
+        "annotation_type",
+        F.posexplode("_regions").alias("region_idx", "_r"),
+    ).select(
+        "slide_id",
+        "annotation_id",
+        "annotation_type",
+        "region_idx",
+        F.col("_r._Id").alias("region_id"),
+        F.transform(
+            F.col("_r.Vertices.Vertex"),
+            lambda v: F.array(v["_X"], v["_Y"]),
+        ).alias("points"),
+    )
+
+
 def drop_degenerate_elements(df: DataFrame, points_col: str = "points") -> DataFrame:
     """F6: drop elements with <3 DISTINCT vertices — the reference's
     UnidentifiedImageError/ValueError skip (FeatureExtractor.py:126-132).

@@ -112,3 +112,54 @@ def test_parsed_elements_feed_rasterizer(spark, annot_file):
     assert out.loc["tubules", "mask_area"] == 50  # 10x5 rect exact
     # triangle: half the 8x6 bbox, within discretization
     assert abs(out.loc["arterioles", "mask_area"] - 24) <= 7
+
+
+def test_parse_xml_annotations(spark, tmp_path):
+    """Aperio-XML side of S4: same downstream shape as the JSON parser."""
+    from combinedfeatureextraction_spark.sources.annotations import (
+        drop_degenerate_elements,
+        parse_xml_annotations,
+        with_element_geometry,
+    )
+
+    xml = """<Annotations>
+      <Annotation Id="1" Type="4">
+        <Regions>
+          <Region Id="10">
+            <Vertices>
+              <Vertex X="2" Y="3"/><Vertex X="12" Y="3"/>
+              <Vertex X="12" Y="8"/><Vertex X="2" Y="8"/>
+            </Vertices>
+          </Region>
+          <Region Id="11">
+            <Vertices><Vertex X="0" Y="0"/><Vertex X="1" Y="1"/></Vertices>
+          </Region>
+        </Regions>
+      </Annotation>
+      <Annotation Id="2" Type="4">
+        <Regions>
+          <Region Id="20">
+            <Vertices>
+              <Vertex X="0" Y="0"/><Vertex X="8" Y="0"/><Vertex X="0" Y="6"/>
+            </Vertices>
+          </Region>
+        </Regions>
+      </Annotation>
+    </Annotations>"""
+    df = spark.createDataFrame([("slide_7", xml)], "slide_id string, raw string")
+    els = parse_xml_annotations(df)
+    pdf = els.orderBy("annotation_id", "region_idx").toPandas()
+    assert len(pdf) == 3
+    assert pdf["annotation_id"].tolist() == ["1", "1", "2"]
+    assert pdf["region_id"].tolist() == ["10", "11", "20"]
+    assert [list(p) for p in pdf["points"][0]] == [
+        [2.0, 3.0], [12.0, 3.0], [12.0, 8.0], [2.0, 8.0]
+    ]
+
+    geo = (
+        with_element_geometry(drop_degenerate_elements(els))
+        .orderBy("annotation_id")
+        .toPandas()
+    )
+    assert len(geo) == 2  # 2-vertex region dropped
+    assert geo["area"].tolist() == [50.0, 24.0]
