@@ -157,6 +157,57 @@ def _resolve_partition_dirs(path: Path, snap_id: str) -> tuple[list[str], list[s
     return sorted(dirs.values()), part_cols
 
 
+def expire_snapshots(
+    path: str | Path,
+    keep_last: int = 2,
+) -> list[str]:
+    """Iceberg-style maintenance: drop snapshots (manifests + data dirs)
+    that are neither among the ``keep_last`` most recent commits nor
+    REFERENCED by a retained snapshot's partition resolution — a retained
+    ``replace_partitions`` child still reads its ancestors' untouched
+    partitions, so reachability, not age, decides what is safe to delete.
+    Time travel keeps working for every retained snapshot. Returns the
+    expired snapshot ids."""
+    import shutil
+
+    path = Path(path)
+    snaps = list_snapshots(path)
+    if len(snaps) <= keep_last:
+        return []
+    retained = set(snaps[-keep_last:])
+    cur = current_snapshot_id(path)
+    if cur:
+        retained.add(cur)
+    # data reachability: snapshots whose data some retained snapshot reads
+    referenced: set[str] = set()
+    for s in retained:
+        for d in _resolve_partition_dirs(path, s)[0]:
+            # .../data/snap=<id>[/bucket=..] → <id>
+            seg = next(p for p in Path(d).parts if p.startswith("snap="))
+            referenced.add(seg.split("=", 1)[1])
+    # manifest reachability: a retained replace_partitions snapshot WALKS
+    # its ancestor manifests during resolution even when their data is
+    # fully superseded — those json files must survive
+    chain: set[str] = set()
+    for s in retained:
+        node: str | None = s
+        while node is not None and node not in chain:
+            chain.add(node)
+            m = _read_manifest(path, node)
+            if m["mode"] == "overwrite":
+                break
+            node = m["parent"]
+    expired = [s for s in snaps if s not in referenced and s not in chain]
+    for s in snaps:
+        if s in retained:
+            continue
+        if s not in referenced:
+            shutil.rmtree(path / "data" / f"snap={s}", ignore_errors=True)
+        if s not in chain:
+            (_snapshots_dir(path) / f"{s}.json").unlink(missing_ok=True)
+    return expired
+
+
 def read_snapshot(
     spark: SparkSession, path: str | Path, snapshot_id: str | None = None
 ) -> DataFrame:

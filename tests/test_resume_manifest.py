@@ -91,3 +91,45 @@ def test_resume_skips_completed(spark, seqs_df, tmp_path):
     run.write_run_metrics({"wall_ms": 123.0, "rows": int(df.count())})
     m = json.loads((run.manifest_dir / "run_metrics.json").read_text())
     assert m["run_id"] == "runA"
+
+
+def test_expire_snapshots(spark, seqs_df, tmp_path):
+    """Vacuum: unreferenced snapshots are deleted; retained snapshots keep
+    time-traveling correctly, including data inherited from ancestors."""
+    import pyspark.sql.functions as F2
+
+    from combinedfeatureextraction_spark.sources.catalog import (
+        expire_snapshots,
+        list_snapshots,
+    )
+
+    tbl = tmp_path / "tbl_exp"
+    df = with_bucket(seqs_df, "doc_id", 8).cache()
+    s1 = write_snapshot(df, tbl, mode="overwrite")  # full table
+    s2 = write_snapshot(  # replaces bucket 0 only — inherits rest from s1
+        df.filter(F2.col(BUCKET_COL) == 0), tbl, mode="replace_partitions"
+    )
+    s3 = write_snapshot(  # replaces bucket 1 only
+        df.filter(F2.col(BUCKET_COL) == 1), tbl, mode="replace_partitions"
+    )
+    total = df.count()
+    expired = expire_snapshots(tbl, keep_last=2)
+    # s1's data is still read by s2/s3 (buckets 2..7) → NOT expired
+    assert expired == []
+    assert read_snapshot(spark, tbl).count() == total
+    assert read_snapshot(spark, tbl, snapshot_id=s2).count() == total
+
+    # now fully overwrite: s1..s3 become unreachable from the new chain
+    s4 = write_snapshot(df, tbl, mode="overwrite")
+    s5 = write_snapshot(
+        df.filter(F2.col(BUCKET_COL) == 2), tbl, mode="replace_partitions"
+    )
+    expired = expire_snapshots(tbl, keep_last=2)
+    assert s1 in expired and s2 in expired and s3 in expired
+    assert set(list_snapshots(tbl)) == {s4, s5}
+    assert read_snapshot(spark, tbl).count() == total
+    assert read_snapshot(spark, tbl, snapshot_id=s4).count() == total
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        read_snapshot(spark, tbl, snapshot_id=s2)
