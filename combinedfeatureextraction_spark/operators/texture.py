@@ -50,14 +50,18 @@ def glcm_pairs(
     keys: Sequence[str],
     order: Sequence[str],
     symmetric: bool = True,
+    offset: int = 1,
 ) -> DataFrame:
-    """(entity, i, j) offset-1 neighbor pairs; symmetric doubles each pair
-    with its mirror — exactly ``graycomatrix(..., symmetric=True)``."""
+    """(entity, i, j) offset-``offset`` neighbor pairs; symmetric doubles
+    each pair with its mirror — exactly ``graycomatrix(..., [offset],
+    symmetric=True)`` (the reference fixes offset=1; skimage generalizes
+    to a distance list — call once per distance, the window sort is shared
+    by Catalyst when composed in one plan)."""
     w = Window.partitionBy(*keys).orderBy(*order)
     pr = (
         df.select(
             *keys,
-            F.lag(level, 1).over(w).alias("_i"),
+            F.lag(level, offset).over(w).alias("_i"),
             F.col(level).alias("_j"),
         )
         .filter(F.col("_i").isNotNull())
@@ -81,6 +85,7 @@ def glcm_texture(
     keys: Sequence[str],
     order: Sequence[str],
     symmetric: bool = True,
+    offset: int = 1,
 ) -> DataFrame:
     """Per-entity GLCM texture stats from an integer level column.
 
@@ -90,7 +95,7 @@ def glcm_texture(
     reference's empty-compartment skip (:516-517 zero-fills only NaN stats
     of *present* compartments).
     """
-    pairs = glcm_pairs(df, level, keys, order, symmetric=symmetric)
+    pairs = glcm_pairs(df, level, keys, order, symmetric=symmetric, offset=offset)
     hist = pairs.groupBy(*keys, "i", "j").agg(F.count("*").alias("c"))
 
     c = F.col("c")

@@ -97,6 +97,34 @@ def test_glcm_single_row_entity_absent(spark):
     assert set(out["ent"]) == {"b"}
 
 
+def test_glcm_offset2_matches_numpy(level_df):
+    """offset generalization: pairs at distance 2."""
+    from combinedfeatureextraction_spark.operators.texture import glcm_texture
+
+    df, pdf = level_df
+    got = (
+        glcm_texture(df, "lvl", ["ent"], ["t"], offset=2)
+        .toPandas()
+        .set_index("ent")
+    )
+    for ent, g in pdf.groupby("ent"):
+        lv = g.sort_values("t")["lvl"].to_numpy()
+        if len(lv) < 3:
+            assert ent not in got.index
+            continue
+        i, j = lv[:-2], lv[2:]
+        P = np.zeros((16, 16))
+        for a, b in zip(i, j):
+            P[a, b] += 1
+            P[b, a] += 1
+        P /= P.sum()
+        idx = np.arange(16.0)
+        I, J = np.meshgrid(idx, idx, indexing="ij")
+        assert got.loc[ent, "contrast"] == pytest.approx(
+            float((P * (I - J) ** 2).sum()), abs=1e-9
+        )
+
+
 def test_quantize_level_range(spark):
     from combinedfeatureextraction_spark.operators.texture import quantize_level
 
