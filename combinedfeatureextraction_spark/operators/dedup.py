@@ -181,10 +181,16 @@ def _banded_candidates(
     (e.g. simhash signatures), so verification needs no join back — only
     narrow (id, bucket, carry) tuples ever shuffle.
 
-    The per-bucket count/min is a window over the SAME keys the self-join
-    shuffles on, so the cap adds no extra exchange."""
+    The band rows are lazily localCheckpoint'ed before the fan-out: the
+    self-join (and the cap's small/star branches) otherwise RECOMPUTE the
+    upstream signature aggregation once per branch — Catalyst does not
+    reuse the exchange across differently-filtered subplans (measured 4.8×
+    on simhash at sf0.1). Lazy checkpoint keeps operator laziness (first
+    action materializes); blocks are released by the ContextCleaner when
+    the plan is collected."""
     bucket_cols = list(bucket_cols)
     carry = list(carry)
+    band_rows = band_rows.localCheckpoint(eager=False)
 
     def side(df: DataFrame, suff: str, extra: Sequence[str] = ()) -> DataFrame:
         return df.select(
