@@ -77,9 +77,18 @@ def ngram_jaccard_pairs(
     ``block_col`` (e.g. source / length bucket) bounds the self-join; use
     minhash_lsh_dedup for corpus scale. Output: (id_a, id_b, jaccard_sim),
     id_a < id_b."""
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, n).alias("_sh"),
-        *( [F.col(block_col)] if block_col else [] ),
+    # shingling runs once (checkpoint), and the checkpoint is spread over
+    # the full partition budget FIRST — a single-file scan would otherwise
+    # checkpoint as ONE partition and serialize the quadratic pair work
+    # onto one task (the broadcast side sets no parallelism of its own)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        df.select(
+            F.col(id_col), word_shingles(text_col, n).alias("_sh"),
+            *( [F.col(block_col)] if block_col else [] ),
+        )
+        .repartition(n_part)
+        .localCheckpoint(eager=False)
     )
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"),
@@ -501,7 +510,11 @@ def embedding_near_dup_pairs(
     cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(block_col)] if block_col else []
     )
-    v = df.select(*cols)
+    # spread the quadratic pair work over the partition budget — a
+    # single-file scan otherwise leaves the non-broadcast join side (and
+    # thus ALL pair evaluation) on one task
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    v = df.select(*cols).repartition(n_part)
     a = v.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
         *([F.col(block_col).alias("_blk")] if block_col else []),

@@ -37,6 +37,9 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # every iteration joins against sym — checkpoint so the upstream
+        # edge derivation (often a window over the raw table) runs once
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
