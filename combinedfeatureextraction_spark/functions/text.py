@@ -22,8 +22,17 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
-# word-ish tokens OR punctuation runs — a BPE-ish segmentation regex
+# word-ish tokens OR punctuation runs — a BPE-ish segmentation regex.
+# NOTE: kept as documentation of the SEMANTICS; the implementation avoids
+# the negated class — `[^A-Za-z0-9\s]` in java.util.regex measured
+# ~150 ns/char (15.8 s over a 95 MB corpus, flat across cores) while the
+# equivalent positive-class / translate forms run in ~0.2 s.
 TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"
+
+import string as _string
+
+_ALNUM = _string.ascii_letters + _string.digits
+_WS = " \t\n\r\x0b\x0c"  # java regex \s
 
 _MOD = 1_000_000_007
 
@@ -41,21 +50,46 @@ def n_words(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Regex token count (BPE-ish segmentation)."""
-    return F.regexp_count(_c(col), F.lit(TOKEN_REGEX))
+    """Token count under the BPE-ish segmentation TOKEN_REGEX (alnum runs
+    + punctuation runs), evaluated as ONE cheap regex over a translate-
+    canonicalized copy (every alnum char → 'a', runs preserved 1:1):
+    ``a+|[^a\\s]+``. Two reasons this form and not the literal TOKEN_REGEX:
+    (a) range-heavy negated classes are ~150 ns/char in java.util.regex;
+    (b) TWO DISTINCT regex patterns in one generated stage thrash a shared
+    pattern cache and recompile per row (measured 0.25 s + 0.24 s alone →
+    5.0 s together) — keep a stage at ONE distinct pattern."""
+    canon = F.translate(_c(col), _ALNUM, "a" * len(_ALNUM))
+    return F.regexp_count(canon, F.lit(r"a+|[^a\s]+"))
+
+
+def _hit_count(ws: Column, stopwords) -> Column:
+    """Occurrence count of any stopword in the word array — NATIVE form:
+    Σ_sw (size(ws) − size(array_remove(ws, sw))). One codegen'd array scan
+    per stopword, no interpreted lambda (F.filter with a lambda shares
+    NamedLambdaVariable state across local executor threads and measured
+    INVERSE 8→32 scaling on a 320k-doc corpus — CLAUDE.md)."""
+    n = F.size(ws)
+    out = F.lit(0)
+    for sw in stopwords:
+        out = out + (n - F.size(F.array_remove(ws, sw)))
+    return out
 
 
 def stopword_ratio(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
     ws = words(col)
-    hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    hits = _hit_count(ws, stopwords)
     # try_divide: NULL (not an ANSI error) on degenerate/empty input
     return F.try_divide(hits.cast("double"), F.size(ws))
 
 
 def punct_ratio(col: Column | str) -> Column:
+    """Share of characters outside [A-Za-z0-9\\s]. translate-delete of the
+    alnum+whitespace alphabet leaves exactly those characters — same value
+    as the regexp_replace-and-diff form at ~90× less cost (see
+    TOKEN_REGEX note)."""
     c = _c(col)
-    stripped = F.regexp_replace(c, r"[^A-Za-z0-9\s]", "")
-    return F.try_divide((F.length(c) - F.length(stripped)).cast("double"), F.length(c))
+    punct = F.length(F.translate(c, _ALNUM + _WS, ""))
+    return F.try_divide(punct.cast("double"), F.length(c))
 
 
 def mean_word_len(col: Column | str) -> Column:
@@ -80,37 +114,28 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 6)
 
 
-def _in_set(stopwords):
-    # arity-1 closure: a `lambda w, s=sw:` default arg would make PySpark
-    # treat it as the 2-arg (element, index) lambda form
-    return lambda w: w.isin(*stopwords)
-
-
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language stopword hit-rate — the n-gram language-ID heuristic."""
+    """Per-language stopword hit-rate — the n-gram language-ID heuristic.
+    Native array_remove differencing per probe word (see _hit_count)."""
     ws = words(col)
     n = F.size(ws)
     return {
-        lang: F.try_divide(F.size(F.filter(ws, _in_set(sw))).cast("double"), n)
+        lang: F.try_divide(_hit_count(ws, sw).cast("double"), n)
         for lang, sw in LANG_STOPWORDS.items()
     }
 
 
 def lang_id(col: Column | str) -> Column:
     """argmax language by stopword hit-rate; 'und' when all scores are 0.
-    Deterministic tie-break: lexicographically first language wins."""
+    Deterministic tie-break: lexicographically first language wins.
+    Pure chained CASE over greatest() — no array/lambda machinery."""
     scores = lang_scores(col)
-    pairs = F.array(
-        *[
-            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-            for lang, s in sorted(scores.items())
-        ]
-    )
-    best = F.array_max(pairs)  # struct compare: score first, then lang
-    # on ties array_max picks the LAST lang alphabetically; invert by
-    # selecting the first struct equal to the max score
-    first_best = F.filter(pairs, lambda p: p["score"] == best["score"])[0]
-    return F.when(best["score"] <= 0, F.lit("und")).otherwise(first_best["lang"])
+    ordered = sorted(scores.items())
+    best = F.greatest(*[s for _, s in ordered])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang, s in ordered[:-1]:
+        expr = expr.when(s == best, F.lit(lang))
+    return expr.otherwise(F.lit(ordered[-1][0]))
 
 
 def fingerprint(col: Column | str) -> Column:
