@@ -187,6 +187,10 @@ def ivf_topk(
     (assignment via mapInArrow matmul emitting (id, lists); candidate
     vectors fetched by broadcast semi-join); recall is tuned by
     (n_lists, nprobe), exactness recovered as nprobe→n_lists."""
+    # bounded driver-side training sample: limit() takes the first rows in
+    # scan order — deterministic for a fixed file layout (FAISS-style
+    # train-on-head); centroids only steer recall, never correctness (the
+    # re-rank is exact)
     sample_pdf = (
         corpus.select(vec_col).limit(train_sample).toPandas()[vec_col]
     )
