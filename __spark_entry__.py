@@ -873,6 +873,20 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Composite training-data curation plan (plans.curation): text
+    features at scan → quality floor → exact dedup → MinHash near-dup
+    clustering → canonical winners; returns the per-language stage-count
+    manifest. Rows-only by design (the near-dup stage is LSH, not one ANSI
+    statement); stage-count reconciliation is pytest-verified
+    (tests/test_curation.py)."""
+    from combinedfeatureextraction_spark.plans.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    _, manifest = curate_corpus(docs)
+    return manifest.orderBy("lang_pred")
+
+
 def q_glcm_stats(spark, sf_dir):
     """W1 (complete): GLCM texture statistics — contrast/homogeneity/
     energy/correlation from the symmetric offset-1 co-occurrence histogram
@@ -1059,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "streaming_asof": q_streaming_asof,
         "streaming_dedup": q_streaming_dedup,
+        "corpus_curation": q_corpus_curation,
     }
 
 
