@@ -161,7 +161,30 @@ def run(cpus: int) -> dict:
             "noop"
         ).mode("overwrite").save()
 
-    variants = {"full": t_full, "core": t_core, "decode": t_decode, "lsh": t_lsh}
+    # text-feature bundle probe (round-2 regression guard: this bundle
+    # INVERSE-scaled before the regex-pathology fixes — see BASELINE.md)
+    from combinedfeatureextraction_spark.functions import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    big_docs = docs
+    for _ in range(6):  # 5000 × 64 = 320k docs
+        big_docs = big_docs.union(big_docs)
+    big_docs = big_docs.repartition(256).localCheckpoint()
+    n_docs = big_docs.count()
+
+    def t_text():
+        big_docs.select(
+            "doc_id",
+            X.quality_score("text").alias("q"),
+            X.lang_id("text").alias("l"),
+            X.fingerprint("text").alias("f"),
+            X.token_count("text").alias("t"),
+        ).write.format("noop").mode("overwrite").save()
+
+    variants = {
+        "full": t_full, "core": t_core, "decode": t_decode,
+        "lsh": t_lsh, "text": t_text,
+    }
     if os.environ.get("CFE_SCALE_WIDE", "1") != "0":
         variants["wide"] = t_wide
     only = os.environ.get("CFE_SCALE_ONLY")
@@ -199,6 +222,9 @@ def run(cpus: int) -> dict:
         "lsh_wall_sec": round(wall_lsh, 2),
         "lsh_vecs": n_vecs,
         "lsh_vecs_per_sec": round(n_vecs / wall_lsh, 1),
+        "text_wall_sec": round(best("text"), 2),
+        "text_docs": n_docs,
+        "text_docs_per_sec": round(n_docs / best("text"), 1),
     }
     spark.stop()
     return out
@@ -248,6 +274,15 @@ def run_all() -> None:
         ),
         "lsh_topk_speedup_8_to_32": round(lsh_sp, 3),
         "lsh_topk_scaling_efficiency_NtoN4": round(lsh_sp / 4.0, 3),
+        "text_speedup_8_to_32": round(
+            results[32]["text_docs_per_sec"] / results[8]["text_docs_per_sec"], 3
+        ),
+        "text_scaling_efficiency_NtoN4": round(
+            results[32]["text_docs_per_sec"]
+            / results[8]["text_docs_per_sec"]
+            / 4.0,
+            3,
+        ),
     }
     (REPO / ".fixtures" / "scaling_result.json").write_text(json.dumps(report))
     print(json.dumps(report))

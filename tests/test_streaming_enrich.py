@@ -68,6 +68,57 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     assert np.allclose(got, want, equal_nan=True)
 
 
+def test_streaming_asof_tolerance(spark, tmp_path):
+    """tolerance_seconds nulls stale matches on the stream exactly like
+    the batch operator."""
+    from combinedfeatureextraction_spark.operators.asof import asof_join
+    from combinedfeatureextraction_spark.streaming.enrich import (
+        streaming_asof_enrich,
+    )
+
+    probe_pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4,
+            "ts": pd.to_datetime([100, 200, 1000, 5000], unit="s"),
+            "pid": range(4),
+        }
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a"], "ts": pd.to_datetime([50, 900], unit="s"),
+             "v": [1.0, 2.0]}
+        )
+    )
+    src = str(tmp_path / "ptol")
+    probe = spark.createDataFrame(probe_pdf)
+    probe.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(probe.schema).parquet(src)
+    out = streaming_asof_enrich(
+        stream, build, ["k"], "ts", "ts", ["v"], tolerance_seconds=300.0
+    )
+    got = (
+        _run_stream(out, "t_asof_tol")
+        .orderBy("pid")
+        .toPandas()["v"]
+        .astype("float64")
+        .tolist()
+    )
+    want = (
+        asof_join(spark.read.parquet(src), build, ["k"], "ts", "ts", ["v"],
+                  tolerance_seconds=300.0)
+        .orderBy("pid").toPandas()["v"].astype("float64").tolist()
+    )
+    import math
+
+    assert [x if not math.isnan(x) else None for x in got] == [
+        x if not math.isnan(x) else None for x in want
+    ]
+    # pid0: 100-50=50 <= 300 -> 1.0; pid1: 200-50=150 -> 1.0;
+    # pid2: 1000-900=100 -> 2.0; pid3: 5000-900=4100 stale -> NULL
+    assert got[0] == 1.0 and got[1] == 1.0 and got[2] == 2.0
+    assert math.isnan(got[3])
+
+
 def test_streaming_asof_rejects_fat_build(spark, tmp_path, monkeypatch):
     from combinedfeatureextraction_spark.operators import asof as asof_mod
     from combinedfeatureextraction_spark.streaming.enrich import (
