@@ -8,13 +8,15 @@ explicit priority).
 
 Scale design:
  - exact: one hash-shuffle on the content hash, map-side combinable.
- - MinHash/SimHash: signatures are pure JVM expressions over the shingle
-   array (explode-free: higher-order funcs on the array), so signature
-   computation is a shuffle-free projection; only the LSH band →
-   candidate-pair stage shuffles, and it shuffles SIGNATURES (few bytes),
-   never documents. Candidate verification joins back by id.
- - banding math: P(candidate | jaccard=s) = 1-(1-s^r)^b — choose (b, r)
-   for the target threshold; defaults target ~0.8.
+ - MinHash/SimHash: signatures via explode → map-side-combinable groupBy
+   aggregates (the array-HOF fold formulation left whole-stage codegen and
+   measured ~50× slower); only the LSH band → candidate-pair stage
+   shuffles beyond that, and it shuffles SIGNATURES (few bytes), never
+   documents. Degenerate buckets cap to star edges; band rows are lazily
+   checkpointed so the signature agg runs once, not per fan-out branch.
+ - banding math (minhash): P(candidate | jaccard=s) = 1-(1-s^r)^b —
+   choose (b, r) for the target threshold; defaults target ~0.8. SimHash
+   is 128-bit with 4×32-bit bands (recall guaranteed ≤ hamming 3).
 """
 
 from __future__ import annotations
