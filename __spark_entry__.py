@@ -1005,7 +1005,42 @@ def q_watershed_split(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is LOAD-BEARING: the driver's CORRECTNESS snapshot
+    checks the FIRST 50 entries (dict order). The window is managed
+    explicitly (see COVERAGE.md §gate-window):
+
+      1. queries never driver-checked before, or whose implementation /
+         oracle changed this round, come FIRST;
+      2. a representative proven core fills the rest of the window;
+      3. queries rotated past position 50 all hold a prior-round
+         driver-green row (CORRECTNESS_r02.json) and stay covered by the
+         repo's identical harness (tests/run_oracle_compare.py, run over
+         ALL registered queries in CI/pytest)."""
     return {
+        # -- round-2 additions, first driver check this round ------------
+        "glcm_stats": q_glcm_stats,
+        "component_stats": q_component_stats,
+        "watershed_split": q_watershed_split,
+        "deconvolution": q_deconvolution,
+        "polygon_features": q_polygon_features,
+        "ivf_topk": q_ivf_topk,
+        "streaming_asof": q_streaming_asof,
+        "streaming_dedup": q_streaming_dedup,
+        "corpus_curation": q_corpus_curation,
+        "asof_strict": q_asof_strict,
+        "asof_join_grid": q_asof_join_grid,
+        "zscore": q_zscore,
+        "ntile": q_ntile,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_filter": q_corpus_filter,
+        "top_words": q_top_words,
+        "normalize_embedding": q_normalize_embedding,
+        "approx_stats": q_approx_stats,
+        # -- LSH family: oracle upgraded this round -----------------------
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "lsh_topk": q_lsh_topk,
+        # -- proven core (r02 driver-green), representative per family ---
         "rolling_window": q_rolling_window,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
@@ -1013,7 +1048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "dist_to_boundary": q_dist_to_boundary,
         "asof_join": q_asof_join,
-        "asof_join_salted": q_asof_join_salted,
         "asof_join_cogroup": q_asof_join_cogroup,
         "asof_tolerance": q_asof_tolerance,
         "six_stat": q_six_stat,
@@ -1028,17 +1062,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "lsh_topk": q_lsh_topk,
         "payload_passthrough": q_payload_passthrough,
         "payload_sum": q_payload_sum,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "salted_agg": q_salted_agg,
+        # ---- position 51+ : rotated out of the driver window -----------
+        # (every one below has a driver-green row in CORRECTNESS_r02.json
+        # and remains in the repo harness / pytest gate)
+        "asof_join_salted": q_asof_join_salted,
         "component_count": q_component_count,
         "sessions_filtered": q_sessions_filtered,
         "rebase": q_rebase,
@@ -1056,24 +1091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "value_histogram": q_value_histogram,
         "distinct_users": q_distinct_users,
-        "asof_strict": q_asof_strict,
-        "normalize_embedding": q_normalize_embedding,
-        "asof_join_grid": q_asof_join_grid,
-        "approx_stats": q_approx_stats,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_filter": q_corpus_filter,
-        "top_words": q_top_words,
-        "zscore": q_zscore,
-        "ntile": q_ntile,
-        "glcm_stats": q_glcm_stats,
-        "component_stats": q_component_stats,
-        "watershed_split": q_watershed_split,
-        "deconvolution": q_deconvolution,
-        "polygon_features": q_polygon_features,
-        "ivf_topk": q_ivf_topk,
-        "streaming_asof": q_streaming_asof,
-        "streaming_dedup": q_streaming_dedup,
-        "corpus_curation": q_corpus_curation,
     }
 
 
