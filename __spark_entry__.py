@@ -427,8 +427,11 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
+    """Document fingerprint via the native explode-shaped aggregate
+    (fingerprint_agg) — no interpreted lambda in the plan; the Column
+    form X.fingerprint is its property-tested per-row dual."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+    return X.fingerprint_agg(docs, "doc_id", "text")
 
 
 def q_salted_agg(spark, sf_dir):

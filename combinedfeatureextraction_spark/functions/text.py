@@ -132,7 +132,10 @@ def lang_id(col: Column | str) -> Column:
     scores = lang_scores(col)
     ordered = sorted(scores.items())
     best = F.greatest(*[s for _, s in ordered])
-    expr = F.when(best <= 0, F.lit("und"))
+    # NULL input → every score (and thus `best`) is NULL → every WHEN
+    # below evaluates NULL → without this first arm the chained CASE
+    # would fall through to the last language; NULL docs are 'und'.
+    expr = F.when(best.isNull() | (best <= 0), F.lit("und"))
     for lang, s in ordered[:-1]:
         expr = expr.when(s == best, F.lit(lang))
     return expr.otherwise(F.lit(ordered[-1][0]))
@@ -144,9 +147,35 @@ def fingerprint(col: Column | str) -> Column:
     Order-sensitive (a permutation changes it) and incremental — the
     document-fingerprint primitive. Matches DuckDB
     `list_transform(..., (w, i) -> ascii(w) * i)` whose lambda index is
-    1-based, hence the i+1 here (Spark's transform index is 0-based)."""
+    1-based, hence the i+1 here (Spark's transform index is 0-based).
+
+    This per-row Column form is an interpreted-lambda chain
+    (transform + aggregate) — fine for cold paths and property tests,
+    but NOT for scan-side hot projections (NamedLambdaVariable
+    contention inverse-scales at local[32] — CLAUDE.md). Hot paths use
+    :func:`fingerprint_agg`, the native explode-shaped dual."""
     ws = words(col)
     terms = F.transform(
         ws, lambda w, i: (F.ascii(w).cast("long") * (i + F.lit(1))) % _MOD
     )
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: (a + x) % _MOD)
+
+
+def fingerprint_agg(df, id_col: str, text_col: str, out_col: str = "fp"):
+    """Native (lambda-free) dual of :func:`fingerprint`: posexplode the
+    word array and take ONE map-side-combinable sum per document —
+    Σ (ascii(word)·(pos+1) mod M) ≡ the fold mod M because every term is
+    in [0, M) and a 64-bit partial sum cannot overflow below ~9·10⁹
+    words/doc. This is the 100 TB form: whole-stage-codegen'd projection
+    + partial aggregation, no interpreted lambda, shuffle carries only
+    (id, partial-sum).
+
+    posexplode_outer keeps NULL-text documents as a row (fp NULL),
+    matching the Column form. Output: (id_col, out_col); requires
+    ``id_col`` unique (document key).
+    """
+    pos_w = df.select(
+        F.col(id_col), F.posexplode_outer(words(text_col)).alias("_pos", "_w")
+    )
+    term = (F.ascii("_w").cast("long") * (F.col("_pos") + F.lit(1))) % _MOD
+    return pos_w.groupBy(id_col).agg((F.sum(term) % _MOD).alias(out_col))

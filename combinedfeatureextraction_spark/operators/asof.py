@@ -98,6 +98,29 @@ _GRID_MAX_BUILD = 500_000  # build rows beyond this → fall back to union
 _GRID_MAX_CELLS = 1 << 22  # dense (key × bucket) grid cap (~4M rows)
 _BCAST_MAX_BUILD = 2_000_000  # broadcast history rollup cap
 
+# size-guard results keyed by build DataFrame identity: a static dim
+# table probed by many plan constructions (e.g. a stream restarted, or
+# repeated enrich construction) must cost ONE count job, not one per
+# construction. The build side is static by the dim-table contract;
+# callers mutating it must pass a fresh DataFrame.
+import weakref as _weakref
+
+_GRID_GUARD_CACHE: "_weakref.WeakKeyDictionary[DataFrame, bool]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _fits_grid_cap(build: DataFrame) -> bool:
+    try:
+        return _GRID_GUARD_CACHE[build]
+    except (KeyError, TypeError):
+        ok = build.limit(_GRID_MAX_BUILD + 1).count() <= _GRID_MAX_BUILD
+        try:
+            _GRID_GUARD_CACHE[build] = ok
+        except TypeError:  # unweakrefable wrapper — just skip the cache
+            pass
+        return ok
+
 
 def _asof_grid(
     probe: DataFrame,
@@ -108,6 +131,7 @@ def _asof_grid(
     values: list[str],
     allow_exact_matches: bool,
     tolerance_seconds: float | None,
+    raise_on_fallback: bool = False,
 ) -> DataFrame:
     """Time-grid-indexed broadcast as-of — the fastest small-build path.
 
@@ -125,16 +149,26 @@ def _asof_grid(
 
     spark = probe.sparkSession
 
-    def fallback() -> DataFrame:
+    def fallback(reason: str) -> DataFrame:
+        # a streaming probe cannot run the union plan (stream-batch union
+        # + global window → opaque AnalysisException); callers that need
+        # the grid contract enforced get the documented error instead
+        if raise_on_fallback or probe.isStreaming:
+            raise ValueError(
+                f"_asof_grid: build side is not grid-indexable ({reason}); "
+                "the union fallback is unavailable here — supply a "
+                "dim-sized, bounded-density build side"
+            )
         return _asof_union(
             probe, build, keys, probe_ts, build_ts, values,
             allow_exact_matches, tolerance_seconds, salt=1,
         )
 
     # size guard BEFORE toPandas: a misused non-dim build side must get the
-    # shuffle plan, not a driver OOM. limit(n+1).count() short-circuits.
-    if build.limit(_GRID_MAX_BUILD + 1).count() > _GRID_MAX_BUILD:
-        return fallback()
+    # shuffle plan, not a driver OOM. limit(n+1).count() short-circuits,
+    # and the verdict is cached per build DataFrame (_fits_grid_cap).
+    if not _fits_grid_cap(build):
+        return fallback(f"more than {_GRID_MAX_BUILD} build rows")
     pdf = (
         # epoch seconds computed SPARK-side: pandas datetime64 unit (ns vs
         # µs) would silently shift the grid otherwise
@@ -173,7 +207,10 @@ def _asof_grid(
     if counts.max() > _GRID_K:
         # too dense for the grid index (duplicate-heavy ticks or the cell
         # cap was hit) — the shuffle plan is the safe answer, not an error
-        return fallback()
+        return fallback(
+            f"tick density exceeds {_GRID_K} per minimal bucket "
+            f"(or the {_GRID_MAX_CELLS}-cell grid cap)"
+        )
     b_lo, b_hi = 0, int(b.max())
 
     # vectorized dense-grid construction (no per-row python):
@@ -298,16 +335,24 @@ def _asof_broadcast(
     allow_exact_matches: bool,
     tolerance_seconds: float | None,
 ) -> DataFrame:
-    """Broadcast as-of for a SMALL build side (a dim/state table).
+    """Broadcast as-of for a SMALL build side with DEEP per-key history.
 
     The build history is rolled up into one ts-sorted array of structs per
     key, broadcast-joined to the probe, and each probe row resolves its
-    match with a JVM-side ``filter(arr, e.ts <= probe.ts)[last]`` — ZERO
-    shuffle of the probe (and of its payload columns). This is the plan to
-    pick at 100 TB whenever the build side fits in a broadcast (the
-    reference analog: few region paths probed by many elements,
-    extract_reference_features.py:110-133,397-400). Skew-immune: no
-    partitioning by the (possibly 6-value, Zipf) key at all.
+    match with ``filter(arr, e.ts <= probe.ts)[last]`` — ZERO shuffle of
+    the probe (and of its payload columns), and skew-immune (no
+    partitioning by the possibly-Zipf key at all).
+
+    WHEN TO PICK IT: only when the build side fits a broadcast but is too
+    tick-DENSE for the grid index (grid's per-bucket cap / cell cap
+    trips). For the common dim-sized build side the GRID strategy is the
+    broadcast plan of record — same zero-shuffle shape, but match
+    resolution is a codegen'd K-slot CASE cascade instead of this
+    per-probe-row interpreted ``F.filter`` lambda over the history array,
+    which we measured at 42.9 s vs grid's 6.2 s on 23M probes (BASELINE.md,
+    operator-level findings). A lambda-free resolution over a VARIABLE-length
+    sorted array needs a searchsorted primitive Spark doesn't expose;
+    bounded-depth histories dodge it via the grid's fixed slots.
 
     Guarded: a build side larger than _BCAST_MAX_BUILD rows falls back to
     the union (shuffle) plan — collect_list per key over a fat build side

@@ -101,14 +101,20 @@ def glcm_texture(
     c = F.col("c")
     i, j = F.col("i").cast("long"), F.col("j").cast("long")
     d2 = (i - j) * (i - j)
+    # products in decimal(38,0) INSIDE the aggregate: c*c in long would
+    # overflow (ANSI error) once a co-occurrence cell passes ~3·10⁹ —
+    # the decimal cast must happen before the multiply, not after the
+    # sum. Runs over ≤ levels² rows per entity, so the decimal math is
+    # off the hot path.
+    cd, id_, jd = c.cast(_DEC), i.cast(_DEC), j.cast(_DEC)
     agg = hist.groupBy(*keys).agg(
         F.sum(c).alias("_n"),
-        F.sum(c * d2).alias("_sij2"),
+        F.sum(cd * d2.cast(_DEC)).alias("_sij2"),
         F.sum(c.cast("double") / (F.lit(1.0) + d2.cast("double"))).alias("_shom"),
-        F.sum(c * c).alias("_s2"),
-        F.sum(c * i).alias("_si"),
-        F.sum(c * i * i).alias("_sii"),
-        F.sum(c * i * j).alias("_sij"),
+        F.sum(cd * cd).alias("_s2"),
+        F.sum(cd * id_).alias("_si"),
+        F.sum(cd * id_ * id_).alias("_sii"),
+        F.sum(cd * id_ * jd).alias("_sij"),
     )
 
     n = F.col("_n").cast("double")

@@ -5,8 +5,10 @@ deduplicated, quality-filtered corpus plus a per-language manifest.
 Stage shape (each stage is an operator this engine ships; the composite
 is what a 100 TB data-curation run actually executes):
 
-  1. text features AT SCAN (quality score, language-ID, token count,
-     fingerprint — all single-pass column expressions, §X5)
+  1. text features AT SCAN (quality score, language-ID, token count —
+     all single-pass codegen'd column expressions, §X5; the document
+     fingerprint is attached to the post-dedup survivors via the native
+     explode-shaped aggregate, never as a scan-side lambda fold)
   2. quality floor filter (F4; pushed to the scan by Catalyst)
   3. EXACT dedup on the content hash (A13 — one combinable shuffle)
   4. near-dup CLUSTERING (MinHash+LSH → connected components → canonical
@@ -49,13 +51,17 @@ def curate_corpus(
     the near-dup cluster's canonical id (== its own id for survivors).
     ``manifest``: per-language counts after each stage (n_raw, n_quality,
     n_exact, n_curated) — the run-lineage summary (K3)."""
+    # Scan projection is pure codegen'd column math — NO interpreted
+    # lambdas (CLAUDE.md: transform/aggregate chains inverse-scale at
+    # local[32]); the fingerprint is attached to the (much smaller)
+    # post-dedup survivor set below via the native explode-shaped
+    # fingerprint_agg instead of riding the 100 TB scan as a lambda fold.
     feats = docs.select(
         F.col(id_col),
         F.col(text_col),
         X.lang_id(text_col).alias("lang_pred"),
         X.quality_score(text_col).alias("quality"),
         X.token_count(text_col).alias("n_tokens"),
-        X.fingerprint(text_col).alias("fp"),
     )
     quality = feats.filter(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
@@ -69,11 +75,14 @@ def curate_corpus(
         bands=bands,
         threshold=near_dup_threshold,
     )
-    curated = (
+    winners = (
         exact.join(clusters, id_col)
         .filter(F.col("canonical_id") == F.col(id_col))
         .drop("canonical_id")
     )
+    curated = winners.join(
+        X.fingerprint_agg(winners, id_col, text_col), id_col
+    ).select(id_col, text_col, "lang_pred", "quality", "n_tokens", "fp")
 
     def _lang_counts(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("lang_pred").agg(F.count("*").alias(name))

@@ -46,8 +46,9 @@ def streaming_asof_enrich(
     if build.isStreaming:
         raise ValueError("streaming_asof_enrich: build side must be static")
     # the union fallback cannot run on a stream — enforce the dim-table
-    # contract up front with the same guard the grid uses
-    if build.limit(_asof._GRID_MAX_BUILD + 1).count() > _asof._GRID_MAX_BUILD:
+    # contract up front with the same guard the grid uses (cached per
+    # build DataFrame: one count job, not one per enrich construction)
+    if not _asof._fits_grid_cap(build):
         raise ValueError(
             "streaming_asof_enrich: build side exceeds the broadcast-grid "
             f"cap ({_asof._GRID_MAX_BUILD} rows); stream-side as-of needs a "
@@ -57,9 +58,13 @@ def streaming_asof_enrich(
     values = list(values) if values else [
         c for c in build.columns if c not in set(keys) | {build_ts}
     ]
+    # raise_on_fallback: the grid has a SECOND fallback (tick density /
+    # cell cap) that would otherwise degrade to the union plan — which on
+    # a streaming probe dies with an unrelated AnalysisException instead
+    # of the documented error
     return _asof._asof_grid(
         stream, build, keys, probe_ts, build_ts, values,
-        allow_exact_matches, tolerance_seconds,
+        allow_exact_matches, tolerance_seconds, raise_on_fallback=True,
     )
 
 

@@ -169,17 +169,27 @@ def run(cpus: int) -> dict:
     big_docs = docs
     for _ in range(6):  # 5000 × 64 = 320k docs
         big_docs = big_docs.union(big_docs)
-    big_docs = big_docs.repartition(256).localCheckpoint()
+    big_docs = (
+        big_docs.repartition(256)
+        # unique key per replica: fingerprint_agg groups by document key
+        .withColumn("uid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
     n_docs = big_docs.count()
 
     def t_text():
+        # production shape (plans.curation): scan-side codegen'd feature
+        # projection, then the explode-shaped fingerprint aggregate —
+        # no interpreted lambda anywhere in the bundle
         big_docs.select(
             "doc_id",
             X.quality_score("text").alias("q"),
             X.lang_id("text").alias("l"),
-            X.fingerprint("text").alias("f"),
             X.token_count("text").alias("t"),
         ).write.format("noop").mode("overwrite").save()
+        X.fingerprint_agg(big_docs, "uid", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     variants = {
         "full": t_full, "core": t_core, "decode": t_decode,

@@ -107,3 +107,38 @@ def test_masked_payload_mean(spark):
         ).collect()
     ]
     assert out[0] == 2.0 and out[1] == 0.0
+
+
+def test_lang_id_null_is_und(spark):
+    # NULL text: every stopword score is NULL → greatest() is NULL; the
+    # chained CASE must short-circuit to 'und', not fall through to the
+    # lexicographically last language (ADVICE r2)
+    from combinedfeatureextraction_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("der die und das",)], "x string"
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("x"))).collect()]
+    assert out[0] == "und" and out[1] == "und" and out[2] == "de"
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_fingerprint_agg_matches_column_form(spark, texts):
+    # the native explode-shaped aggregate is an exact dual of the
+    # per-row lambda fold, including empty strings and NULL
+    from combinedfeatureextraction_spark.functions.text import (
+        fingerprint,
+        fingerprint_agg,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "id long, x string")
+    col_form = {
+        r["id"]: r["fp"]
+        for r in df.select("id", fingerprint(F.col("x")).alias("fp")).collect()
+    }
+    agg_form = {
+        r["id"]: r["fp"] for r in fingerprint_agg(df, "id", "x").collect()
+    }
+    assert agg_form == col_form

@@ -167,3 +167,65 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = _run_stream(out, "t_stream_dedup").toPandas()
     # one row per distinct text within the watermark horizon
     assert sorted(got["text"]) == ["dup", "uniq1", "uniq2"]
+
+
+def test_streaming_asof_rejects_dense_build(spark, tmp_path):
+    """The grid's SECOND fallback (tick density > _GRID_K per minimal
+    bucket) must surface as the documented ValueError on a stream, not
+    as the union plan's AnalysisException (ADVICE r2)."""
+    from combinedfeatureextraction_spark.streaming.enrich import (
+        streaming_asof_enrich,
+    )
+
+    src = str(tmp_path / "pdense")
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": pd.to_datetime([1], unit="s")})
+    )
+    probe.write.mode("overwrite").parquet(src)
+    # 10 ticks at the IDENTICAL timestamp: no bucket doubling can get the
+    # per-bucket tick count under _GRID_K — small but not grid-indexable
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"] * 10, "ts": pd.to_datetime([7] * 10, unit="s"),
+             "v": [float(i) for i in range(10)]}
+        )
+    )
+    stream = spark.readStream.schema(probe.schema).parquet(src)
+    with pytest.raises(ValueError, match="grid-indexable"):
+        streaming_asof_enrich(stream, build, ["k"], "ts", "ts", ["v"])
+
+
+def test_enrich_dim_guard_counts_once(spark, tmp_path, monkeypatch):
+    """Repeated enrich construction over the same static dim table runs
+    ONE size-guard count job, not one per construction."""
+    from pyspark.sql import DataFrame
+    from combinedfeatureextraction_spark.streaming.enrich import (
+        streaming_asof_enrich,
+    )
+
+    src = str(tmp_path / "pguard")
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": pd.to_datetime([1], unit="s")})
+    )
+    probe.write.mode("overwrite").parquet(src)
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a"], "ts": pd.to_datetime([1, 2], unit="s"),
+             "v": [1.0, 2.0]}
+        )
+    )
+    calls = {"n": 0}
+    cls = type(build)  # Spark 4: the concrete class, not the ABC facade
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    stream = spark.readStream.schema(probe.schema).parquet(src)
+    streaming_asof_enrich(stream, build, ["k"], "ts", "ts", ["v"])
+    first = calls["n"]
+    assert first >= 1
+    streaming_asof_enrich(stream, build, ["k"], "ts", "ts", ["v"])
+    assert calls["n"] == first  # cached: zero additional count jobs
