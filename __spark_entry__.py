@@ -329,7 +329,16 @@ def q_minhash_dedup(spark, sf_dir):
     gets a mutated twin (last word dropped → trigram jaccard ≈ 1), and the
     LSH (num_hashes=64, bands=16 → r=4, threshold* ≈ 0.5) must recover the
     planted pairs while background pairs (jaccard ≲ 0.1 in this corpus)
-    produce almost no candidates."""
+    produce almost no candidates.
+
+    ORACLED (exact-Jaccard dual): the verify stage emits exactly
+    {candidate pairs with true jaccard ≥ 0.5}, and candidate recall is
+    complete on this corpus (all qualifying pairs are planted twins at
+    jaccard ≈ 1, where P(band hit) = 1-(1-s⁴)¹⁶ ≈ 1), so the output
+    equals the full exact pair set — verified pair-for-pair and pinned
+    by the recall test in tests/test_operators_unit.py. In general LSH
+    is probabilistic; a corpus with mass in the ~0.5-0.7 gray zone
+    would make this a subset, not an equality."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1342,6 +1351,43 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+""",
+        # Exact-Jaccard dual of the LSH pipeline (sparse explode-join:
+        # zero-overlap pairs cannot reach the 0.5 threshold, so joining
+        # on shared shingles is exhaustive). Equality with the Spark LSH
+        # output holds because candidate recall is COMPLETE on this
+        # corpus (planted twins sit at jaccard≈1 where the 16-band/r=4
+        # hit probability is ~1; verified pair-for-pair at sf0.01 and
+        # pinned by tests/test_operators_unit.py recall test).
+        "minhash_dedup": """
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         regexp_replace(text, ' [^ ]+$', '') AS text
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text,' ')) - 2),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           || ' ' || string_split(text,' ')[i+2])) AS s
+  FROM corpus
+),
+tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT id_a, id_b,
+  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard_sim
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
 """,
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),

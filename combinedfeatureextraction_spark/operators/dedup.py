@@ -178,29 +178,48 @@ def _banded_candidates(
     bucket_cols: Sequence[str],
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     carry: Sequence[str] = (),
+    sig_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Candidate pairs from (_id, *bucket_cols) band rows, with a
-    DEGENERATE-BUCKET CAP: a bucket holding more than ``max_bucket``
-    members (boilerplate / empty docs all hashing together) contributes
-    STAR edges to its minimum id instead of all pairs — candidate volume
-    is O(bucket) instead of O(bucket²), while connectivity (what
-    dedup clustering consumes) is fully preserved. Exhaustive pair
-    enumeration inside a mega-bucket is O(N²) by definition; callers that
-    truly want it pass ``max_bucket=None``. Normal buckets are unaffected.
+    DEGENERATE-BUCKET CAP that is RECALL-AWARE.
+
+    A bucket holding ≤ ``max_bucket`` members enumerates all pairs. An
+    oversized bucket (boilerplate / empty docs all hashing together) is
+    first SUB-GROUPED BY EXACT FULL SIGNATURE (``sig_cols``):
+
+      * within a signature group, members contribute star edges to the
+        group's minimum id — for truly identical content (the reason
+        mega-buckets exist) every such edge passes verification, so the
+        group stays connected at O(group) candidate volume;
+      * the group representatives (one per DISTINCT signature) are then
+        pair-enumerated exhaustively when ≤ ``max_bucket`` of them
+        exist, else they degrade to star edges among themselves.
+
+    Recall contract: a true near-dup pair in an oversized bucket is
+    enumerated (or transitively connected through its signature-group
+    representative, whose signature is IDENTICAL to the member's) as
+    long as the bucket holds ≤ ``max_bucket`` DISTINCT signatures. The
+    residual loss cases are (a) > max_bucket distinct signatures in ONE
+    band bucket and (b) distinct texts colliding on the ENTIRE signature
+    whose star edge fails verification — both documented-probabilistic,
+    not silent (the old min-id star could drop verified pairs between
+    non-min members of any heterogeneous mega-bucket). Callers that want
+    exhaustive enumeration regardless pass ``max_bucket=None``.
 
     ``carry`` columns ride along onto both pair sides as ``{c}_a``/``{c}_b``
     (e.g. simhash signatures), so verification needs no join back — only
-    narrow (id, bucket, carry) tuples ever shuffle.
+    narrow (id, bucket, sig, carry) tuples ever shuffle.
 
     The band rows are lazily localCheckpoint'ed before the fan-out: the
-    self-join (and the cap's small/star branches) otherwise RECOMPUTE the
-    upstream signature aggregation once per branch — Catalyst does not
-    reuse the exchange across differently-filtered subplans (measured 4.8×
-    on simhash at sf0.1). Lazy checkpoint keeps operator laziness (first
+    self-join (and the cap's branches) otherwise RECOMPUTE the upstream
+    signature aggregation once per branch — Catalyst does not reuse the
+    exchange across differently-filtered subplans (measured 4.8× on
+    simhash at sf0.1). Lazy checkpoint keeps operator laziness (first
     action materializes); blocks are released by the ContextCleaner when
     the plan is collected."""
     bucket_cols = list(bucket_cols)
     carry = list(carry)
+    sig_cols = list(sig_cols)
     band_rows = band_rows.localCheckpoint(eager=False)
 
     def side(df: DataFrame, suff: str, extra: Sequence[str] = ()) -> DataFrame:
@@ -224,12 +243,14 @@ def _banded_candidates(
             .select(*out_cols)
             .distinct()
         )
+    if not sig_cols:
+        # no finer key available — every member is its own "signature"
+        # group, i.e. reps == members (pre-fix behavior would star to the
+        # bucket min and silently lose non-min pairs; without sig_cols we
+        # can only star among the members themselves)
+        sig_cols = ["_id"]
     w = Window.partitionBy(*bucket_cols)
-    # min id + its carry columns in one pass: struct min orders by _id first
-    br = (
-        band_rows.withColumn("_bn", F.count("*").over(w))
-        .withColumn("_bm", F.min(F.struct("_id", *carry)).over(w))
-    )
+    br = band_rows.withColumn("_bn", F.count("*").over(w))
     small = br.filter(F.col("_bn") <= max_bucket)
     pairs_small = (
         side(small, "a")
@@ -237,15 +258,49 @@ def _banded_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(*out_cols)
     )
-    pairs_star = br.filter(
-        (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_bm")["_id"])
-    ).select(
-        F.col("_bm")["_id"].alias("id_a"),
+
+    # ---- oversized buckets: signature sub-groups --------------------
+    gw = Window.partitionBy(*bucket_cols, *sig_cols)
+    big = br.filter(F.col("_bn") > max_bucket).withColumn(
+        "_gm", F.min(F.struct("_id", *carry)).over(gw)
+    )
+    # (a) within-group star edges (group min → member)
+    pairs_within = big.filter(F.col("_id") != F.col("_gm")["_id"]).select(
+        F.col("_gm")["_id"].alias("id_a"),
         F.col("_id").alias("id_b"),
-        *[F.col("_bm")[c].alias(f"{c}_a") for c in carry],
+        *[F.col("_gm")[c].alias(f"{c}_a") for c in carry],
         *[F.col(c).alias(f"{c}_b") for c in carry],
     ).select(*out_cols)
-    return pairs_small.union(pairs_star).distinct()
+    # (b) one representative per distinct signature; exhaustive pairs
+    # while they fit the cap, star beyond it
+    rw = Window.partitionBy(*bucket_cols)
+    reps = (
+        big.filter(F.col("_id") == F.col("_gm")["_id"])
+        .drop("_gm", "_bn")
+        .withColumn("_rn", F.count("*").over(rw))
+        .withColumn("_rm", F.min(F.struct("_id", *carry)).over(rw))
+    )
+    reps_small = reps.filter(F.col("_rn") <= max_bucket)
+    pairs_reps = (
+        side(reps_small, "a")
+        .join(side(reps_small, "b"), bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(*out_cols)
+    )
+    pairs_reps_star = reps.filter(
+        (F.col("_rn") > max_bucket) & (F.col("_id") != F.col("_rm")["_id"])
+    ).select(
+        F.col("_rm")["_id"].alias("id_a"),
+        F.col("_id").alias("id_b"),
+        *[F.col("_rm")[c].alias(f"{c}_a") for c in carry],
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    ).select(*out_cols)
+    return (
+        pairs_small.union(pairs_within)
+        .union(pairs_reps)
+        .union(pairs_reps_star)
+        .distinct()
+    )
 
 
 def minhash_lsh_candidates_from_sets(
@@ -256,13 +311,17 @@ def minhash_lsh_candidates_from_sets(
 ) -> DataFrame:
     """LSH candidate pairs from hashed shingle sets: signature → ``bands``
     bands of r=num_hashes/bands rows; pairs sharing any band bucket are
-    candidates. Only (id, band, band_hash) tuples shuffle — never documents.
-    Oversized buckets degrade to star edges (see _banded_candidates).
-    Output: distinct (id_a, id_b)."""
+    candidates. Only (id, band, band_hash, full-signature-hash) tuples
+    shuffle — never documents. Oversized buckets sub-group by the FULL
+    signature hash so identical content collapses to one representative
+    and distinct contents still pair exhaustively (see
+    _banded_candidates recall contract). Output: distinct (id_a, id_b)."""
     r = num_hashes // bands
     sig = minhash_signatures_from_sets(sh, num_hashes)
     band_rows = sig.select(
         "_id",
+        # full-signature hash: the sub-group key for oversized buckets
+        F.xxhash64("_sig").alias("_sigh"),
         F.explode(
             F.array(
                 *[
@@ -276,8 +335,10 @@ def minhash_lsh_candidates_from_sets(
                 ]
             )
         ).alias("b"),
-    ).select("_id", "b.band", "b.bh")
-    return _banded_candidates(band_rows, ["band", "bh"], max_bucket)
+    ).select("_id", "_sigh", "b.band", "b.bh")
+    return _banded_candidates(
+        band_rows, ["band", "bh"], max_bucket, sig_cols=["_sigh"]
+    )
 
 
 def minhash_lsh_dedup(
@@ -398,14 +459,20 @@ def simhash_candidates(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs from (_id, _sig_lo, _sig_hi) 128-bit signatures:
-    band on 4×32-bit chunks. PIGEONHOLE GUARANTEE: a pair within
-    hamming ≤ 3 (= chunks−1) of 128 bits must agree on ≥1 whole chunk and
-    is ALWAYS a candidate; recall above hamming 3 is probabilistic (the
-    flipped bits must happen to spare one chunk). 32-bit chunk values give
-    2³² buckets per band — expected occupancy O(N/2³²) at corpus scale —
-    and degenerate buckets (identical boilerplate) cap to star edges
-    (_banded_candidates). Signatures ride the band rows, so no join back
-    is needed. Output: (id_a, id_b) + both signature pairs."""
+    band on 4×32-bit chunks. PIGEONHOLE: a pair within hamming ≤ 3
+    (= chunks−1) of 128 bits must agree on ≥1 whole chunk and lands in a
+    shared bucket; recall above hamming 3 is probabilistic (the flipped
+    bits must happen to spare one chunk). In an OVERSIZED bucket the cap
+    sub-groups by the full signature: identical-signature members star
+    to a group representative (those edges are hamming-0 and can never
+    fail verification) and distinct signatures pair exhaustively up to
+    ``max_bucket`` representatives — so hamming ≤ 3 CONNECTIVITY through
+    the verified pair graph is guaranteed unless one band bucket holds
+    more than ``max_bucket`` DISTINCT signatures (then representative
+    stars are the documented residual approximation). 32-bit chunk
+    values give 2³² buckets per band — expected occupancy O(N/2³²) at
+    corpus scale. Signatures ride the band rows, so no join back is
+    needed. Output: (id_a, id_b) + both signature pairs."""
     chunk_exprs = []
     for i in range(2):
         chunk_exprs.append(
@@ -428,7 +495,11 @@ def simhash_candidates(
         "_id", "_sig_lo", "_sig_hi", F.explode(F.array(*chunk_exprs)).alias("c")
     ).select("_id", "_sig_lo", "_sig_hi", "c.chunk", "c.cv")
     return _banded_candidates(
-        band_rows, ["chunk", "cv"], max_bucket, carry=["_sig_lo", "_sig_hi"]
+        band_rows,
+        ["chunk", "cv"],
+        max_bucket,
+        carry=["_sig_lo", "_sig_hi"],
+        sig_cols=["_sig_lo", "_sig_hi"],
     )
 
 
@@ -441,9 +512,12 @@ def simhash_dedup(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by 128-bit SimHash: banded candidates
-    (simhash_candidates — recall GUARANTEED for hamming ≤ 3, probabilistic
-    above; raise coverage with more/rotated chunk tables if a looser
-    threshold is required) verified with exact hamming. Output:
+    (simhash_candidates — hamming ≤ 3 pairs are direct candidates via
+    pigeonhole; in capped mega-buckets connectivity through the verified
+    graph is guaranteed up to ``max_bucket`` distinct signatures per
+    bucket, see simhash_candidates; probabilistic above hamming 3 —
+    raise coverage with more/rotated chunk tables if a looser threshold
+    is required) verified with exact hamming. Output:
     (id_a, id_b, hamming)."""
     sigs = simhash_signatures(df, id_col, text_col, ngram)
     cands = simhash_candidates(sigs, max_bucket)

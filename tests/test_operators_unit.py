@@ -426,3 +426,98 @@ def test_interval_overlap_join(spark):
              "k string, s int, e int, tag string")
     out = interval_overlap_join(probe, iv, ["k"], "t", "s", "e").toPandas()
     assert sorted(zip(out["t"], out["tag"])) == [(5, "w1"), (15, "w2")]
+
+
+def test_capped_bucket_keeps_nonmin_pairs(spark):
+    """ADVICE r2: the old cap emitted ONLY star edges to the bucket-min
+    id, so true pairs between non-min members of a heterogeneous
+    mega-bucket were never enumerated (and verification could reject the
+    star edges, silently losing confirmed pairs). The recall-aware cap
+    sub-groups by full signature: distinct signatures pair exhaustively
+    up to the cap; identical signatures star to their group rep."""
+    from combinedfeatureextraction_spark.operators.dedup import (
+        _banded_candidates,
+    )
+
+    # one bucket of 10 members (> max_bucket=6): ids 0..3 with DISTINCT
+    # signatures, ids 4..9 sharing one signature (boilerplate clones)
+    rows = [(i, 1, 100 + i) for i in range(4)] + [
+        (i, 1, 777) for i in range(4, 10)
+    ]
+    band = _df(spark, rows, "_id long, b long, s long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _banded_candidates(
+            band, ["b"], max_bucket=6, sig_cols=["s"]
+        ).collect()
+    }
+    # non-min representative pairs are enumerated (the old cap lost them)
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        assert pair in got
+    # clone group stars to its min id 4; clones stay connected through it
+    for pair in [(4, 5), (4, 6), (4, 7), (4, 8), (4, 9)]:
+        assert pair in got
+    # rep pairs between distinct sigs and the clone rep exist
+    assert (0, 4) in got and (3, 4) in got
+    # candidate volume stays sub-quadratic: no clone-clone non-star pairs
+    assert (5, 6) not in got and (8, 9) not in got
+    # exact count: C(5,2) rep pairs + 5 within-group stars
+    assert len(got) == 15
+
+
+def test_minhash_recall_complete_on_driver_corpus(spark):
+    """Pins the minhash_dedup ORACLE contract (see __spark_entry__):
+    on the driver documents corpus + planted twins, LSH candidate recall
+    is complete, so emitted pairs == the exact jaccard >= 0.5 pair set
+    (computed by the exact quadratic operator). Runs at sf0.001."""
+    from combinedfeatureextraction_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    lsh = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 6))
+        for r in minhash_lsh_dedup(
+            corpus, "doc_id", "text", n=3, num_hashes=64, bands=16,
+            threshold=0.5,
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 6))
+        for r in ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_planted_exact_dups_on_driver_corpus(spark):
+    """Containment guarantee on the driver's own table: exact-duplicate
+    texts have hamming-0 signatures, are pigeonhole-guaranteed
+    candidates, and can never fail hamming verification — every planted
+    twin pair must be emitted (rows-only query's planted-set oracle)."""
+    from combinedfeatureextraction_spark.operators.dedup import simhash_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    out = simhash_dedup(corpus, "doc_id", "text", max_hamming=3, ngram=2)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    want = {(r["doc_id"], r["doc_id"] + 5000000) for r in docs.collect()}
+    assert want <= got
+    ham = {r["hamming"] for r in out.collect()}
+    assert max(ham) <= 3
