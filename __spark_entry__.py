@@ -999,6 +999,44 @@ def q_polygon_features(spark, sf_dir):
     )
 
 
+def q_polygon_components(spark, sf_dir):
+    """W4/W5 upstreamed to 2-D (round-3): rasterize → 2-D connected
+    components → per-component measurement inside ONE mapInPandas
+    (FeatureExtractor.py:346-354 split-then-measure shape). Polygons are
+    deterministic from vec_id; odd ids get a self-intersecting bowtie
+    whose even-odd fill produces two disjoint lobes, even ids a
+    rectangle. Rows-only by design (the scanline rasterizer + union-find
+    labeler are in-UDF operators); partition parity vs an independent
+    BFS flood fill is proven in tests/test_rasterize.py."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_component_features,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
+    w, h = F.pmod(v * 3, F.lit(20)) + 2, F.pmod(v * 5, F.lit(20)) + 2
+    rect = F.array(
+        F.array(x0, y0), F.array(x0 + w, y0),
+        F.array(x0 + w, y0 + h), F.array(x0, y0 + h),
+    )
+    bowtie = F.array(
+        F.array(x0, y0), F.array(x0 + w, y0 + h),
+        F.array(x0 + w, y0), F.array(x0, y0 + h),
+    )
+    poly = emb.select(
+        "vec_id",
+        F.when(v % 2 == 1, bowtie).otherwise(rect).alias("points"),
+    )
+    out = polygon_component_features(poly, "points", ["vec_id"])
+    return out.select(
+        "vec_id", "mask_area", "n_components", "largest_area",
+        _r("largest_cx").alias("largest_cx"),
+        _r("largest_cy").alias("largest_cy"),
+        _r("area_ratio").alias("area_ratio"),
+    )
+
+
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
@@ -1035,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed_split": q_watershed_split,
         "deconvolution": q_deconvolution,
         "polygon_features": q_polygon_features,
+        "polygon_components": q_polygon_components,  # new in r03
         "ivf_topk": q_ivf_topk,
         "streaming_asof": q_streaming_asof,
         "streaming_dedup": q_streaming_dedup,
@@ -1061,7 +1100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_to_boundary": q_dist_to_boundary,
         "asof_join": q_asof_join,
         "asof_join_cogroup": q_asof_join_cogroup,
-        "asof_tolerance": q_asof_tolerance,
         "six_stat": q_six_stat,
         "six_stat_hierarchy": q_six_stat_hierarchy,
         "weighted_mean": q_weighted_mean,
@@ -1085,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+ : rotated out of the driver window -----------
         # (every one below has a driver-green row in CORRECTNESS_r02.json
         # and remains in the repo harness / pytest gate)
+        "asof_tolerance": q_asof_tolerance,
         "asof_join_salted": q_asof_join_salted,
         "component_count": q_component_count,
         "sessions_filtered": q_sessions_filtered,

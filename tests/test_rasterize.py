@@ -96,3 +96,89 @@ def test_polygon_mask_features_spark(spark):
     assert out.loc[1, "centroid_y"] == pytest.approx(2.5)
     assert out.loc[2, "mask_area"] == 100
     assert out.loc[3, "mask_area"] == 0
+
+
+def _bfs_components(mask, connectivity=4):
+    """Independent oracle: plain BFS flood fill (no shared code with the
+    run-based union-find in rasterize.label_components_numpy)."""
+    import numpy as np
+    from collections import deque
+
+    h, w = mask.shape
+    seen = np.zeros_like(mask, dtype=bool)
+    if connectivity == 4:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    else:
+        nbrs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                if (dr, dc) != (0, 0)]
+    comps = []
+    for r in range(h):
+        for c in range(w):
+            if mask[r, c] and not seen[r, c]:
+                q = deque([(r, c)])
+                seen[r, c] = True
+                comp = []
+                while q:
+                    cr, cc = q.popleft()
+                    comp.append((cr, cc))
+                    for dr, dc in nbrs:
+                        nr, nc = cr + dr, cc + dc
+                        if (0 <= nr < h and 0 <= nc < w
+                                and mask[nr, nc] and not seen[nr, nc]):
+                            seen[nr, nc] = True
+                            q.append((nr, nc))
+                comps.append(frozenset(comp))
+    return set(comps)
+
+
+def test_label_components_matches_bfs_oracle():
+    """Partition parity of the run-based union-find labeler against an
+    independent BFS flood fill, both connectivities, random masks."""
+    import numpy as np
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        label_components_numpy,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        h, w = rng.integers(1, 18, size=2)
+        mask = rng.random((h, w)) < rng.uniform(0.2, 0.8)
+        for conn in (4, 8):
+            labels, n = label_components_numpy(mask.copy(), conn)
+            got = {
+                frozenset(zip(*np.nonzero(labels == k)))
+                for k in range(1, n + 1)
+            }
+            want = _bfs_components(mask, conn)
+            assert got == want, (trial, conn, mask)
+            # labels deterministic: 1..n by first raster appearance
+            first_rows = [
+                min(np.flatnonzero(labels.ravel() == k))
+                for k in range(1, n + 1)
+            ]
+            assert first_rows == sorted(first_rows)
+
+
+def test_polygon_component_features_bowtie(spark):
+    """A self-intersecting bowtie under even-odd fill yields two disjoint
+    lobes — the rasterize → 2-D-components → measure pipeline must see 2
+    components; a plain rectangle sees 1."""
+    import pandas as pd
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_component_features,
+    )
+
+    bowtie = [[0, 0], [10, 8], [10, 0], [0, 8]]
+    rect = [[0, 0], [10, 0], [10, 8], [0, 8]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "points": [bowtie, rect]})
+    )
+    out = {
+        r["pid"]: r
+        for r in polygon_component_features(df, "points", ["pid"]).collect()
+    }
+    assert out[1]["n_components"] == 2
+    assert out[2]["n_components"] == 1
+    assert out[2]["largest_area"] == out[2]["mask_area"] == 80
+    assert abs(out[1]["area_ratio"] - 0.5) < 0.2  # two similar lobes
+    assert out[1]["largest_area"] < out[1]["mask_area"]
