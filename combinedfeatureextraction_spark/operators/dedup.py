@@ -220,7 +220,6 @@ def _banded_candidates(
     bucket_cols = list(bucket_cols)
     carry = list(carry)
     sig_cols = list(sig_cols)
-    band_rows = band_rows.localCheckpoint(eager=False)
 
     def side(df: DataFrame, suff: str, extra: Sequence[str] = ()) -> DataFrame:
         return df.select(
@@ -236,6 +235,7 @@ def _banded_candidates(
         + [f"{c}_b" for c in carry]
     )
     if max_bucket is None:
+        band_rows = band_rows.localCheckpoint(eager=False)
         return (
             side(band_rows, "a")
             .join(side(band_rows, "b"), bucket_cols)
@@ -249,8 +249,17 @@ def _banded_candidates(
         # bucket min and silently lose non-min pairs; without sig_cols we
         # can only star among the members themselves)
         sig_cols = ["_id"]
+    # BOTH window columns are computed upstream of the lazy checkpoint so
+    # the four candidate branches below filter from materialized rows
+    # instead of re-running the windows (and the whole upstream signature
+    # aggregation) once per branch.
     w = Window.partitionBy(*bucket_cols)
-    br = band_rows.withColumn("_bn", F.count("*").over(w))
+    gw = Window.partitionBy(*bucket_cols, *sig_cols)
+    br = (
+        band_rows.withColumn("_bn", F.count("*").over(w))
+        .withColumn("_gm", F.min(F.struct("_id", *carry)).over(gw))
+        .localCheckpoint(eager=False)
+    )
     small = br.filter(F.col("_bn") <= max_bucket)
     pairs_small = (
         side(small, "a")
@@ -260,10 +269,7 @@ def _banded_candidates(
     )
 
     # ---- oversized buckets: signature sub-groups --------------------
-    gw = Window.partitionBy(*bucket_cols, *sig_cols)
-    big = br.filter(F.col("_bn") > max_bucket).withColumn(
-        "_gm", F.min(F.struct("_id", *carry)).over(gw)
-    )
+    big = br.filter(F.col("_bn") > max_bucket)
     # (a) within-group star edges (group min → member)
     pairs_within = big.filter(F.col("_id") != F.col("_gm")["_id"]).select(
         F.col("_gm")["_id"].alias("id_a"),
@@ -272,13 +278,17 @@ def _banded_candidates(
         *[F.col(c).alias(f"{c}_b") for c in carry],
     ).select(*out_cols)
     # (b) one representative per distinct signature; exhaustive pairs
-    # while they fit the cap, star beyond it
+    # while they fit the cap, star beyond it (reps are lazily
+    # checkpointed too: two sub-branches would otherwise re-run the rep
+    # windows; the rep set is tiny — one row per distinct signature in
+    # an oversized bucket)
     rw = Window.partitionBy(*bucket_cols)
     reps = (
         big.filter(F.col("_id") == F.col("_gm")["_id"])
         .drop("_gm", "_bn")
         .withColumn("_rn", F.count("*").over(rw))
         .withColumn("_rm", F.min(F.struct("_id", *carry)).over(rw))
+        .localCheckpoint(eager=False)
     )
     reps_small = reps.filter(F.col("_rn") <= max_bucket)
     pairs_reps = (
