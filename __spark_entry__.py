@@ -351,8 +351,28 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup(docs, "doc_id", "text", max_hamming=16, ngram=2)
+    """128-bit SimHash near-dup pairs, FULLY ORACLED. Two properties make
+    exact DuckDB verification possible: (1) hasher="md5" — md5 is
+    bit-identical in every engine, so DuckDB recomputes the identical
+    signatures from the same 2-gram shingles (nibble k bit b ↦ hash bit
+    4k+b, the documented portability contract; production default stays
+    xxhash64, same downstream machinery byte-for-byte); (2)
+    max_hamming=3 with 4×32-bit bands — by pigeonhole a hamming ≤ 3
+    pair ALWAYS shares a band, so LSH recall is complete and the output
+    is exactly {pairs with hamming ≤ 3}, which DuckDB enumerates
+    quadratically. Mutated twins (last word dropped → hamming ≈ 0)
+    planted for the 10% of docs with doc_id % 10 == 0 guarantee a
+    non-trivial matched set at ~1.1× corpus cost."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    out = simhash_dedup(
+        corpus, "doc_id", "text", max_hamming=3, ngram=2, hasher="md5"
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -1428,6 +1448,58 @@ JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
 """,
+        # simhash_dedup: exact dual. hasher="md5" makes the signatures
+        # engine-portable (nibble k bit b -> hash bit 4k+b) and
+        # max_hamming=3 with 4x32-bit bands makes LSH recall COMPLETE by
+        # pigeonhole, so the Spark output is exactly the quadratic
+        # hamming<=3 enumeration below.
+        "simhash_dedup": """
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         regexp_replace(text, ' [^ ]+$', '') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text,' ')) - 1),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS s
+  FROM corpus
+),
+tok AS (SELECT doc_id, md5(g) AS m FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+nib AS (
+  SELECT doc_id, kk.k AS k,
+         strpos('0123456789abcdef', substr(m, kk.k + 1, 1)) - 1 AS v
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) kk
+),
+bits AS (
+  -- portability contract with _md5_word_expr: nibble k bit b sits at
+  -- global bit (k//8)*32 + (7 - k%8)*4 + b (8-char big-endian groups)
+  SELECT doc_id, ((k // 8) * 32 + (7 - (k % 8)) * 4 + bb.b) AS i,
+         (v >> bb.b) & 1 AS bit
+  FROM nib CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb
+),
+sig AS (
+  SELECT doc_id, i, CASE WHEN 2 * sum(bit) > count(*) THEN 1 ELSE 0 END AS sb
+  FROM bits GROUP BY doc_id, i
+),
+sigp AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN i < 32 THEN CAST(sb AS BIGINT) << i ELSE 0 END) AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN i >= 32 AND i < 64 THEN CAST(sb AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN i >= 64 AND i < 96 THEN CAST(sb AS BIGINT) << (i - 64) ELSE 0 END) AS BIGINT) AS c2,
+    CAST(sum(CASE WHEN i >= 96 THEN CAST(sb AS BIGINT) << (i - 96) ELSE 0 END) AS BIGINT) AS c3
+  FROM sig GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+       + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+  FROM sigp a JOIN sigp b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""",
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
 scored AS (
@@ -1825,11 +1897,12 @@ reach(id, comp) AS (
 )
 SELECT id, min(comp) AS component FROM reach GROUP BY id
 """,
-        # minhash_dedup / simhash_dedup / lsh_topk / ivf_topk /
-        # media_features / watershed_split / dedup_clusters / approx_stats:
-        # intentionally no oracle (xxhash64 / LSH randomness / kmeans /
-        # stubbed codec / peak-valley scan are not single-statement ANSI
-        # SQL) → driver rows-only check.
+        # lsh_topk / ivf_topk / media_features / watershed_split /
+        # dedup_clusters / approx_stats: intentionally no oracle (LSH
+        # randomness / kmeans / stubbed codec / peak-valley scan are not
+        # single-statement ANSI SQL) → driver rows-only check.
+        # minhash_dedup and simhash_dedup ARE oracled (exact-Jaccard
+        # dual; md5-portable signatures + pigeonhole-complete recall).
     }
 
 

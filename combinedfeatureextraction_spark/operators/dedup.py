@@ -395,15 +395,42 @@ def minhash_lsh_dedup(
 
 # -------------------------------------------------------------- simhash
 
+def _md5_word_expr(hex_col: str, first_nibble: int) -> str:
+    """SQL expr assembling a 64-bit word from 16 hex nibbles of an md5
+    digest, parsed as two big-endian 8-char (32-bit) groups:
+    word = u32(chars 1-8) | u32(chars 9-16) << 32. Two conv() calls per
+    word (not 32 per-nibble ones — codegen size and per-row cost scale
+    with term count), emitted as ONE F.expr string. The resulting
+    bit layout is the PORTABILITY CONTRACT with the DuckDB oracle:
+    nibble k (0-based) bit b sits at global bit
+    (k//8)*32 + (7 - k%8)*4 + b."""
+    lo = (
+        f"CAST(conv(substr({hex_col}, {first_nibble + 1}, 8), 16, 10) AS BIGINT)"
+    )
+    hi = (
+        f"CAST(conv(substr({hex_col}, {first_nibble + 9}, 8), 16, 10) AS BIGINT)"
+    )
+    return f"({lo} | shiftleft({hi}, 32))"
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     ngram: int = 2,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id, _sig_lo, _sig_hi): 128-bit SimHash as two longs — per bit,
     sign of Σ_shingles (±1); bits 0-63 from xxhash64(shingle), 64-127 from
     the independent xxhash64(shingle, 1).
+
+    ``hasher`` selects the shingle→128-bit hash primitive:
+    ``"xxhash64"`` (default, fastest — the production path) or ``"md5"``
+    (portable: md5 has bit-identical implementations in every engine, so
+    an external oracle such as DuckDB can recompute the signatures and
+    the ENTIRE operator becomes exactly verifiable end-to-end; the
+    banding / majority / verification machinery downstream is byte-for-
+    byte the same code either way).
 
     128 bits (not 64) is the scale requirement: the banding stage splits
     the signature into 4×32-bit chunks, giving 2³² bucket values per
@@ -427,11 +454,21 @@ def simhash_signatures(
         F.explode(F.slice(sh, 1, F.least(F.size(sh), F.lit(_MAX_SHINGLES)))).alias(
             "_s"
         ),
-    ).select(
-        "_id",
-        F.xxhash64("_s").alias("_h0"),
-        F.xxhash64("_s", F.lit(1)).alias("_h1"),
     )
+    if hasher == "xxhash64":
+        ex = ex.select(
+            "_id",
+            F.xxhash64("_s").alias("_h0"),
+            F.xxhash64("_s", F.lit(1)).alias("_h1"),
+        )
+    elif hasher == "md5":
+        ex = ex.withColumn("_m", F.md5("_s")).select(
+            "_id",
+            F.expr(_md5_word_expr("_m", 0)).alias("_h0"),
+            F.expr(_md5_word_expr("_m", 16)).alias("_h1"),
+        )
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     # expressions built as SQL strings: ONE py4j/parse round trip each —
     # assembling a 128-term tree with Column operators costs ~1000 py4j
     # calls and dominated wall time (2.7 s of pure driver-side tree build)
@@ -520,6 +557,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     ngram: int = 2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by 128-bit SimHash: banded candidates
     (simhash_candidates — hamming ≤ 3 pairs are direct candidates via
@@ -527,9 +565,11 @@ def simhash_dedup(
     graph is guaranteed up to ``max_bucket`` distinct signatures per
     bucket, see simhash_candidates; probabilistic above hamming 3 —
     raise coverage with more/rotated chunk tables if a looser threshold
-    is required) verified with exact hamming. Output:
-    (id_a, id_b, hamming)."""
-    sigs = simhash_signatures(df, id_col, text_col, ngram)
+    is required) verified with exact hamming. At ``max_hamming ≤ 3`` the
+    output is therefore EXACTLY the set of hamming ≤ max_hamming pairs
+    (pigeonhole recall is complete), which is what makes the md5-hasher
+    variant externally oracle-able. Output: (id_a, id_b, hamming)."""
+    sigs = simhash_signatures(df, id_col, text_col, ngram, hasher=hasher)
     cands = simhash_candidates(sigs, max_bucket)
     return cands.select(
         "id_a",

@@ -294,6 +294,54 @@ def test_simhash_finds_planted_dup(spark):
     assert out["hamming"].tolist() == [0]
 
 
+def test_simhash_md5_portability_contract(spark):
+    """The md5 hasher's nibble→bit layout is the contract the DuckDB
+    oracle replicates (nibble k bit b ↦ global bit (k//8)*32 +
+    (7−k%8)*4 + b). Pin the Spark word assembly to an independent
+    hashlib reference so a refactor can't silently break the oracle."""
+    import hashlib
+
+    from combinedfeatureextraction_spark.operators.dedup import _md5_word_expr
+
+    def ref_word(s: str, first: int) -> int:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        w = 0
+        for g in range(2):  # two big-endian 8-char groups per word
+            w |= int(hx[first + 8 * g : first + 8 * g + 8], 16) << (32 * g)
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    shingles = ["a b", "hello world", "x y", "θ ω", ""]
+    df = spark.createDataFrame([(s,) for s in shingles], "s string")
+    got = (
+        df.withColumn("_m", F.md5("s"))
+        .select(
+            "s",
+            F.expr(_md5_word_expr("_m", 0)).alias("h0"),
+            F.expr(_md5_word_expr("_m", 16)).alias("h1"),
+        )
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        assert r["h0"] == ref_word(r["s"], 0), r["s"]
+        assert r["h1"] == ref_word(r["s"], 16), r["s"]
+
+
+def test_simhash_md5_finds_planted_dup(spark):
+    """The portable-hash variant preserves the operator contract: exact
+    duplicate found at hamming 0, unrelated docs rejected."""
+    from combinedfeatureextraction_spark.operators.dedup import simhash_dedup
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(1000)]
+    texts = [" ".join(rng.choice(vocab, 80)) for _ in range(20)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((100, texts[0]))
+    df = _df(spark, rows, "id long, t string")
+    out = simhash_dedup(df, "id", "t", max_hamming=3, hasher="md5").toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 100)}
+    assert out["hamming"].tolist() == [0]
+
+
 def test_simhash_banding_pigeonhole(spark):
     """The recall CONTRACT: any signature pair with hamming ≤ 3 of 128
     bits is always a candidate (≥1 clean 32-bit chunk), even with flipped
