@@ -31,6 +31,7 @@ Three physical strategies, one logical semantics:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import pandas as pd
@@ -339,20 +340,23 @@ def _asof_broadcast(
 
     The build history is rolled up into one ts-sorted array of structs per
     key, broadcast-joined to the probe, and each probe row resolves its
-    match with ``filter(arr, e.ts <= probe.ts)[last]`` — ZERO shuffle of
-    the probe (and of its payload columns), and skew-immune (no
-    partitioning by the possibly-Zipf key at all).
+    match with a FIXED-DEPTH BINARY SEARCH over the sorted array —
+    ⌈log₂(max history length + 1)⌉ unrolled iterations of
+    ``try_element_at`` + compare, entirely native/codegen'd. ZERO shuffle
+    of the probe (and of its payload columns), skew-immune (no
+    partitioning by the possibly-Zipf key at all), and ZERO interpreted
+    lambdas: the previous ``F.filter(arr, …)[last]`` resolution was
+    O(history) per probe row AND NamedLambdaVariable-contended — measured
+    96 s vs 2.8 s for the unrolled search on 2M probes × 5k-tick
+    histories (34×). Each iteration maintains (lo, hi) as plain columns
+    in its own projection; Catalyst keeps the per-level aliases (no
+    exponential substitution), and whole-stage codegen evaluates each
+    level once per row.
 
-    WHEN TO PICK IT: only when the build side fits a broadcast but is too
-    tick-DENSE for the grid index (grid's per-bucket cap / cell cap
-    trips). For the common dim-sized build side the GRID strategy is the
-    broadcast plan of record — same zero-shuffle shape, but match
-    resolution is a codegen'd K-slot CASE cascade instead of this
-    per-probe-row interpreted ``F.filter`` lambda over the history array,
-    which we measured at 42.9 s vs grid's 6.2 s on 23M probes (BASELINE.md,
-    operator-level findings). A lambda-free resolution over a VARIABLE-length
-    sorted array needs a searchsorted primitive Spark doesn't expose;
-    bounded-depth histories dodge it via the grid's fixed slots.
+    WHEN TO PICK IT: the build side fits a broadcast but is too
+    tick-DENSE for the grid index (grid's per-bucket / cell caps trip —
+    grid stays the plan of record for ordinary dim tables: 6.2 s vs
+    union 20.3 s on 23M probes, BASELINE.md).
 
     Guarded: a build side larger than _BCAST_MAX_BUILD rows falls back to
     the union (shuffle) plan — collect_list per key over a fat build side
@@ -373,24 +377,70 @@ def _asof_broadcast(
             )
         ).alias("_hist")
     )
+    # search depth from the ACTUAL deepest history (one cheap agg over the
+    # dim-sized build, piggybacking the rollup) — ⌈log₂(500k)⌉ = 19 levels
+    # would be correct but wastes plan depth on shallow histories
+    hmax = hist.agg(F.max(F.size("_hist"))).first()[0] or 1
+    iters = max(1, math.ceil(math.log2(hmax + 1)))
     joined = probe.join(F.broadcast(hist), keys, "left")
     pts = epoch_seconds(probe_ts)
-    if allow_exact_matches:
-        eligible = F.filter("_hist", lambda e: e["_bts"] <= pts)
-    else:
-        eligible = F.filter("_hist", lambda e: e["_bts"] < pts)
-    # try_element_at: NULL (not an ANSI error) when no build row qualifies
-    match = F.try_element_at(eligible, F.lit(-1))
-    out = joined
+    # invariant: elements 1.._lo all satisfy the predicate, elements
+    # > _hi none do; converges to _lo = count of eligible ticks.
+    # NULL _hist (unmatched probe key): size() is NULL under ANSI → the
+    # active guard stays NULL → _lo stays 0 → NULL match.
+    cur = joined.withColumn("_lo", F.lit(0)).withColumn("_hi", F.size("_hist"))
+    for i in range(iters):
+        mid = F.floor((F.col("_lo") + F.col("_hi") + 1) / 2).cast("int")
+        # clamp: try_element_at treats 0 as INVALID_INDEX_OF_ZERO, not
+        # NULL; mid=0 only reachable when inactive (lo=hi=0), result unused
+        e = F.try_element_at(F.col("_hist"), F.greatest(mid, F.lit(1)))
+        p = (
+            (e["_bts"] <= pts) if allow_exact_matches else (e["_bts"] < pts)
+        )
+        active = F.col("_lo") < F.col("_hi")
+        cur = (
+            cur.select(
+                "*",
+                F.when(active & p, mid).otherwise(F.col("_lo")).alias(f"_lo{i}"),
+                F.when(active & ~p, mid - 1)
+                .otherwise(F.col("_hi"))
+                .alias(f"_hi{i}"),
+            )
+            .drop("_lo", "_hi")
+            .withColumnsRenamed({f"_lo{i}": "_lo", f"_hi{i}": "_hi"})
+        )
+    match = F.when(
+        F.col("_lo") >= 1,
+        F.try_element_at(F.col("_hist"), F.greatest(F.col("_lo"), F.lit(1))),
+    )
     if tolerance_seconds is not None:
         stale = (pts - match["_bts"]) > F.lit(float(tolerance_seconds))
         match_expr = F.when(match.isNull() | stale, F.lit(None)).otherwise(match)
     else:
         match_expr = match
-    out = out.withColumn("_m", match_expr)
+    # pushdown BARRIER: a caller filter on a value column would otherwise
+    # be pushed through the search chain by alias SUBSTITUTION
+    # (PushPredicateThroughNonJoin.trimAliases) — each level references
+    # (_lo,_hi) several times, so the substituted predicate grows ~4^depth
+    # and OOMs the driver during optimization (observed at 23M probes).
+    # The barrier must live INSIDE the match expression: a standalone
+    # non-deterministic guard column gets removed by ColumnPruning (it is
+    # referenced by nothing), after which the next optimizer-batch
+    # iteration pushes the predicate through the then-deterministic
+    # projection and explodes. spark_partition_id() ≥ 0 is always true,
+    # costs one codegen'd int read per row, is streaming-safe, and makes
+    # the _m projection non-deterministic so PushDownPredicates and
+    # CollapseProject both stop here permanently. Probe-column predicates
+    # still push to the scan (the level projections pass them through as
+    # plain attributes); value-column predicates evaluate above _m —
+    # callers should filter the PROBE before any enrichment join anyway.
+    out = cur.select(
+        "*",
+        F.when(F.spark_partition_id() >= 0, match_expr).alias("_m"),
+    )
     for v in values:
         out = out.withColumn(v, F.col("_m")[v])
-    return out.drop("_hist", "_m")
+    return out.drop("_hist", "_m", "_lo", "_hi")
 
 
 def _asof_union(

@@ -85,6 +85,44 @@ def test_distance_to_boundary_two_sided(spark):
     assert out == [0.0, 10.0, 30.0, 0.0, 30.0]
 
 
+def test_asof_broadcast_tolerance_and_strict(spark):
+    """The binary-search broadcast resolution must agree with the union
+    plan under tolerance_seconds and allow_exact_matches=False (the
+    paths the strategy-parity test below doesn't vary)."""
+    from combinedfeatureextraction_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    probe = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y", "z"], 150),
+            "ts": pd.to_datetime(rng.integers(0, 5_000, 150), unit="s"),
+            "pid": np.arange(150),
+        }
+    )
+    build = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y"], 40),
+            "ts": pd.to_datetime(rng.integers(0, 5_000, 40), unit="s"),
+            "v": rng.normal(size=40),
+        }
+    )
+    p, b = spark.createDataFrame(probe), spark.createDataFrame(build)
+    for kw in (
+        {"tolerance_seconds": 600.0},
+        {"allow_exact_matches": False},
+        {"tolerance_seconds": 120.0, "allow_exact_matches": False},
+    ):
+        want = (
+            asof_join(p, b, ["k"], "ts", "ts", ["v"], strategy="union", **kw)
+            .orderBy("pid").toPandas()["v"].astype("float64").values
+        )
+        got = (
+            asof_join(p, b, ["k"], "ts", "ts", ["v"], strategy="broadcast", **kw)
+            .orderBy("pid").toPandas()["v"].astype("float64").values
+        )
+        assert np.allclose(got, want, equal_nan=True), kw
+
+
 def test_asof_strategies_match(spark):
     from combinedfeatureextraction_spark.operators.asof import asof_join
 
