@@ -25,6 +25,15 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="commit granularity: buckets per Spark job (0 = "
+                         "all pending buckets in one job). Chunking bounds "
+                         "the failure domain — a killed run loses at most "
+                         "one chunk of work and resumes at the first "
+                         "uncommitted chunk — at the cost of one scan per "
+                         "chunk (on a partitioned catalog layout the bucket "
+                         "filter prunes files, so the extra scans are "
+                         "proportional to the chunk, not the table)")
     ap.add_argument("--narrow", action="store_true",
                     help="emit the narrow feature table (100 TB shape)")
     args = ap.parse_args()
@@ -55,7 +64,15 @@ def main() -> None:
             sort_within=("doc_id", "ts"), mode="replace_partitions",
         )
 
-    res = run.run_pending(feat, list(range(args.buckets)), write_fn)
+    all_buckets = list(range(args.buckets))
+    if args.chunk and args.chunk > 0:
+        res = {"processed": 0, "skipped": 0}
+        for i in range(0, len(all_buckets), args.chunk):
+            r = run.run_pending(feat, all_buckets[i : i + args.chunk], write_fn)
+            res["processed"] += r["processed"]
+            res["skipped"] += r["skipped"]
+    else:
+        res = run.run_pending(feat, all_buckets, write_fn)
     wall = time.time() - t0
     run.write_run_metrics(
         {"wall_sec": round(wall, 2), **res, "narrow": args.narrow}

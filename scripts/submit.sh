@@ -22,8 +22,11 @@ print('packaged', '$ZIP')
 ")
 
 MASTER="${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-*}]}"
+# local mode: the driver JVM runs the executors — size it like get_spark
+# does (spark-submit's 1g default OOMs the 23M-row window sort)
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "${CFE_DRIVER_MEM:-8g}" \
   --conf spark.sql.shuffle.partitions="${CFE_SHUFFLE_PARTITIONS:-32}" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
