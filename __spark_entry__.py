@@ -1057,6 +1057,54 @@ def q_polygon_components(spark, sf_dir):
     )
 
 
+def q_polygon_watershed(spark, sf_dir):
+    """W5 upstreamed to TRUE 2-D (round-3): rasterize → exact Euclidean
+    distance transform (separable Felzenszwalb) → plateau-maxima markers
+    → priority-flood watershed → per-object measurement, all inside ONE
+    mapInPandas — the full dual of the reference's touching-object split
+    (FeatureExtractor.py:346-354: distanceTransform → peak_local_max →
+    watershed). Polygons deterministic from vec_id: odd ids get a
+    DUMBBELL (two blocks joined by a thin neck — EDT peaks in the block
+    cores, the flood splits at the neck → 2 objects), even ids a plain
+    rectangle (1 object). Rows-only by design (EDT/flood are in-UDF
+    operators); exact-EDT parity vs brute force and flood invariants are
+    proven in tests/test_rasterize.py."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_watershed_features,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
+    a = F.pmod(v * 3, F.lit(8)) + 8      # block width 8..15
+    hh = F.pmod(v * 5, F.lit(6)) + 10    # height 10..15
+    nk = F.lit(6)                        # neck length
+    yc = y0 + F.floor(hh / 2)
+    rect = F.array(
+        F.array(x0, y0), F.array(x0 + a, y0),
+        F.array(x0 + a, y0 + hh), F.array(x0, y0 + hh),
+    )
+    dumbbell = F.array(
+        F.array(x0, y0), F.array(x0 + a, y0),
+        F.array(x0 + a, yc - 1), F.array(x0 + a + nk, yc - 1),
+        F.array(x0 + a + nk, y0), F.array(x0 + 2 * a + nk, y0),
+        F.array(x0 + 2 * a + nk, y0 + hh), F.array(x0 + a + nk, y0 + hh),
+        F.array(x0 + a + nk, yc + 1), F.array(x0 + a, yc + 1),
+        F.array(x0 + a, y0 + hh), F.array(x0, y0 + hh),
+    )
+    poly = emb.select(
+        "vec_id",
+        F.when(v % 2 == 1, dumbbell).otherwise(rect).alias("points"),
+    )
+    out = polygon_watershed_features(poly, "points", ["vec_id"])
+    return out.select(
+        "vec_id", "mask_area", "n_objects", "largest_area",
+        _r("largest_cx").alias("largest_cx"),
+        _r("largest_cy").alias("largest_cy"),
+        _r("area_ratio").alias("area_ratio"),
+    )
+
+
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
@@ -1094,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deconvolution": q_deconvolution,
         "polygon_features": q_polygon_features,
         "polygon_components": q_polygon_components,  # new in r03
+        "polygon_watershed": q_polygon_watershed,  # new in r03 (2-D watershed)
         "ivf_topk": q_ivf_topk,
         "streaming_asof": q_streaming_asof,
         "streaming_dedup": q_streaming_dedup,

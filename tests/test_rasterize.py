@@ -182,3 +182,99 @@ def test_polygon_component_features_bowtie(spark):
     assert out[2]["largest_area"] == out[2]["mask_area"] == 80
     assert abs(out[1]["area_ratio"] - 0.5) < 0.2  # two similar lobes
     assert out[1]["largest_area"] < out[1]["mask_area"]
+
+
+# -------------------------------------------------- 2-D watershed
+
+
+def test_edt_matches_bruteforce():
+    """Exact-EDT parity: the separable Felzenszwalb transform must equal
+    the O(N·M) brute-force nearest-background distance (outside-the-array
+    ring counts as background) on random masks."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        distance_transform_numpy,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        h, w = rng.integers(3, 16, 2)
+        mask = rng.random((h, w)) < 0.65
+        got = distance_transform_numpy(mask)
+        # brute force on the padded mask (virtual background ring)
+        pad = np.zeros((h + 2, w + 2), dtype=bool)
+        pad[1:-1, 1:-1] = mask
+        bg = np.argwhere(~pad)
+        want = np.zeros((h, w))
+        for r in range(h):
+            for c in range(w):
+                if mask[r, c]:
+                    d2 = (bg[:, 0] - (r + 1)) ** 2 + (bg[:, 1] - (c + 1)) ** 2
+                    want[r, c] = np.sqrt(d2.min())
+        assert np.allclose(got, want), (h, w)
+
+
+def test_watershed_invariants_random_masks():
+    """On random masks: flood labels cover the mask exactly, every marker
+    keeps its own label, each watershed region is connected, and region
+    count equals marker count."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        _plateau_maxima_markers,
+        distance_transform_numpy,
+        label_components_numpy,
+        watershed_numpy,
+    )
+
+    rng = np.random.default_rng(9)
+    for conn in (4, 8):
+        for _ in range(4):
+            h, w = rng.integers(4, 20, 2)
+            mask = rng.random((h, w)) < 0.6
+            if not mask.any():
+                continue
+            dist = distance_transform_numpy(mask)
+            markers, n = _plateau_maxima_markers(dist, mask, connectivity=conn)
+            labels = watershed_numpy(-dist, markers, mask, conn)
+            # coverage: labeled iff mask
+            assert ((labels > 0) == mask).all()
+            # markers preserved
+            sel = markers > 0
+            assert (labels[sel] == markers[sel]).all()
+            assert set(np.unique(labels[mask])) == set(range(1, n + 1))
+            # each region connected under the SAME connectivity used to
+            # flood (flooding only steps to adjacent pixels)
+            for k in range(1, n + 1):
+                _, nk = label_components_numpy(labels == k, conn)
+                assert nk == 1, (conn, k)
+
+
+def test_watershed_splits_dumbbell(spark):
+    """Two 10×12 blocks joined by a thin neck: EDT peaks in the block
+    centers, watershed splits at the neck → 2 objects of similar area; a
+    plain rectangle stays 1 object covering the whole mask."""
+    import pandas as pd
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_watershed_features,
+    )
+
+    A, N, H, t = 10, 6, 12, 1
+    yc = H // 2
+    dumbbell = [
+        [0, 0], [A, 0], [A, yc - t], [A + N, yc - t], [A + N, 0],
+        [2 * A + N, 0], [2 * A + N, H], [A + N, H], [A + N, yc + t],
+        [A, yc + t], [A, H], [0, H],
+    ]
+    rect = [[0, 0], [12, 0], [12, 9], [0, 9]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "points": [dumbbell, rect]})
+    )
+    out = {
+        r["pid"]: r
+        for r in polygon_watershed_features(df, "points", ["pid"]).collect()
+    }
+    assert out[1]["n_objects"] == 2
+    # two similar lobes: largest is about half the mass
+    assert 0.35 < out[1]["area_ratio"] < 0.65
+    assert out[2]["n_objects"] == 1
+    assert out[2]["largest_area"] == out[2]["mask_area"] == 108
+    # largest centroid sits inside one of the dumbbell blocks, not the neck
+    assert not (A < out[1]["largest_cx"] < A + N)
