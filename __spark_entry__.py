@@ -909,9 +909,13 @@ def q_corpus_curation(spark, sf_dir):
     """Composite training-data curation plan (plans.curation): text
     features at scan → quality floor → exact dedup → MinHash near-dup
     clustering → canonical winners; returns the per-language stage-count
-    manifest. Rows-only by design (the near-dup stage is LSH, not one ANSI
-    statement); stage-count reconciliation is pytest-verified
-    (tests/test_curation.py)."""
+    manifest. FULLY ORACLED (round 3): the DuckDB dual recomputes every
+    stage — the proven lang/quality/token SQL duals, the exact-dedup
+    window, and the near-dup stage as a recursive-CTE closure over
+    exact-Jaccard pairs (candidate recall is complete here: every
+    natural near-dup pair sits at jaccard ≥ 0.88, where the 16-band/r=4
+    hit probability is ~1−1e−7). Stage-count reconciliation additionally
+    pytest-verified (tests/test_curation.py)."""
     from combinedfeatureextraction_spark.plans.curation import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -1497,6 +1501,145 @@ JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
 """,
+        # corpus_curation: exact dual of the FLAGSHIP curation composite.
+        # Stage features reuse the proven lang_id / text_quality /
+        # corpus_filter duals; the near-dup stage is the same recursive-
+        # CTE closure over exact-Jaccard pairs as dedup_clusters —
+        # complete candidate recall holds because every natural near-dup
+        # pair in this corpus sits at jaccard >= 0.88 (measured), where
+        # the 16-band/r=4 hit probability is ~1-1e-7.
+        "corpus_curation": """
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT doc_id, text,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred,
+    round(least(sw * 4, 1.0) * 0.4
+          + (1.0 - least(pr * 5, 1.0)) * 0.3
+          + (1.0 - least(abs(wl - 5.0) / 5.0, 1.0)) * 0.3, 6) AS q,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]+')) AS n_tokens
+  FROM (
+    SELECT doc_id, text,
+      CAST(len(list_filter(string_split(text,' '),
+           w -> w IN ('the','a','of','to','and','in','is','it','for','on'))) AS DOUBLE)
+        / len(string_split(text,' ')) AS sw,
+      CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / length(text) AS pr,
+      CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        / len(string_split(text,' ')) AS wl,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das','nicht'))) AS DOUBLE) / len(string_split(text,' ')) AS s_de,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','in'))) AS DOUBLE) / len(string_split(text,' ')) AS s_en,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y'))) AS DOUBLE) / len(string_split(text,' ')) AS s_es,
+      CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','des'))) AS DOUBLE) / len(string_split(text,' ')) AS s_fr
+    FROM documents
+  )
+),
+qual AS (SELECT * FROM base WHERE q >= 0.25 AND n_tokens >= 8),
+ex AS MATERIALIZED (
+  SELECT doc_id, text, lang_pred FROM (
+    SELECT doc_id, text, lang_pred,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM qual
+  ) WHERE rn = 1
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text,' ')) - 2),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           || ' ' || string_split(text,' ')[i+2])) AS s
+  FROM ex
+),
+tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes na ON id_a = na.doc_id
+  JOIN sizes nb ON id_b = nb.doc_id
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+nn AS (SELECT DISTINCT src AS id FROM e),
+reach(id, comp) AS (
+  SELECT id, id FROM nn
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+),
+cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+winners AS (
+  SELECT ex.doc_id, ex.lang_pred
+  FROM ex LEFT JOIN cc ON ex.doc_id = cc.id
+  WHERE coalesce(cc.comp, ex.doc_id) = ex.doc_id
+),
+langs AS (SELECT lang_pred, count(*) AS n_raw FROM base GROUP BY 1),
+nq AS (SELECT lang_pred, count(*) AS n_quality FROM qual GROUP BY 1),
+ne AS (SELECT lang_pred, count(*) AS n_exact FROM ex GROUP BY 1),
+nc AS (SELECT lang_pred, count(*) AS n_curated FROM winners GROUP BY 1)
+SELECT l.lang_pred, l.n_raw,
+       coalesce(nq.n_quality, 0) AS n_quality,
+       coalesce(ne.n_exact, 0) AS n_exact,
+       coalesce(nc.n_curated, 0) AS n_curated
+FROM langs l
+LEFT JOIN nq USING (lang_pred)
+LEFT JOIN ne USING (lang_pred)
+LEFT JOIN nc USING (lang_pred)
+ORDER BY l.lang_pred
+""",
+        # dedup_clusters: exact dual of the full curation composite —
+        # exact-Jaccard pairs (complete candidate recall on this corpus,
+        # same argument as minhash_dedup) closed into connected
+        # components by a recursive CTE (UNION dedups => terminates),
+        # canonical = min id per component, singletons map to self.
+        "dedup_clusters": """
+WITH RECURSIVE corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         regexp_replace(text, ' [^ ]+$', '') AS text
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text,' ')) - 2),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           || ' ' || string_split(text,' ')[i+2])) AS s
+  FROM corpus
+),
+tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes na ON id_a = na.doc_id
+  JOIN sizes nb ON id_b = nb.doc_id
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+nn AS (SELECT DISTINCT src AS id FROM e),
+reach(id, comp) AS (
+  SELECT id, id FROM nn
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+),
+cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT c.doc_id AS doc_id,
+       coalesce(cc.comp, c.doc_id) AS canonical_id
+FROM corpus c LEFT JOIN cc ON c.doc_id = cc.id
+""",
         # simhash_dedup: exact dual. hasher="md5" makes the signatures
         # engine-portable (nibble k bit b -> hash bit 4k+b) and
         # max_hamming=3 with 4x32-bit bands makes LSH recall COMPLETE by
@@ -1947,11 +2090,14 @@ reach(id, comp) AS (
 SELECT id, min(comp) AS component FROM reach GROUP BY id
 """,
         # lsh_topk / ivf_topk / media_features / watershed_split /
-        # dedup_clusters / approx_stats: intentionally no oracle (LSH
-        # randomness / kmeans / stubbed codec / peak-valley scan are not
-        # single-statement ANSI SQL) → driver rows-only check.
-        # minhash_dedup and simhash_dedup ARE oracled (exact-Jaccard
-        # dual; md5-portable signatures + pigeonhole-complete recall).
+        # polygon_components / polygon_watershed / approx_stats /
+        # corpus_curation: intentionally no oracle (LSH randomness /
+        # kmeans / stubbed codec / in-UDF rasterize-EDT-flood / peak-
+        # valley scan are not single-statement ANSI SQL) → driver
+        # rows-only check. minhash_dedup, simhash_dedup AND
+        # dedup_clusters ARE oracled (exact-Jaccard dual; md5-portable
+        # signatures + pigeonhole-complete recall; recursive-CTE
+        # closure).
     }
 
 
