@@ -1109,6 +1109,45 @@ def q_polygon_watershed(spark, sf_dir):
     )
 
 
+def q_polygon_holes(spark, sf_dir):
+    """Hole-filling over rasterized polygons — the reference's
+    binary_fill_holes step (extract_reference_features.py:106,482),
+    backed by reconstruct_2d_numpy's dual (imreconstruct,
+    extract_ffpe_features.py:6): background components not reaching the
+    border are cavities. Odd vec_ids get an ANNULUS (outer + inner
+    square traced as one even-odd ring → exactly one hole), even ids a
+    plain rectangle. ORACLED analytically: axis-aligned integer
+    rectangles rasterize pixel-exactly (tests/test_rasterize.py::
+    test_rectangle_exact), so mask/filled/hole areas equal closed-form
+    arithmetic on vec_id — a genuine end-to-end check that rasterize →
+    background-CC → border-reachability produces exact pixel counts."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_hole_features,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
+    d = F.pmod(v * 3, F.lit(8)) + 10          # outer square side 10..17
+    rw, rh = F.pmod(v * 3, F.lit(10)) + 4, F.pmod(v * 5, F.lit(10)) + 4
+    rect = F.array(
+        F.array(x0, y0), F.array(x0 + rw, y0),
+        F.array(x0 + rw, y0 + rh), F.array(x0, y0 + rh),
+    )
+    annulus = F.array(
+        F.array(x0, y0), F.array(x0 + d, y0),
+        F.array(x0 + d, y0 + d), F.array(x0, y0 + d), F.array(x0, y0),
+        F.array(x0 + 3, y0 + 3), F.array(x0 + d - 3, y0 + 3),
+        F.array(x0 + d - 3, y0 + d - 3), F.array(x0 + 3, y0 + d - 3),
+        F.array(x0 + 3, y0 + 3),
+    )
+    poly = emb.select(
+        "vec_id",
+        F.when(v % 2 == 1, annulus).otherwise(rect).alias("points"),
+    )
+    return polygon_hole_features(poly, "points", ["vec_id"])
+
+
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
@@ -1147,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_features": q_polygon_features,
         "polygon_components": q_polygon_components,  # new in r03
         "polygon_watershed": q_polygon_watershed,  # new in r03 (2-D watershed)
+        "polygon_holes": q_polygon_holes,  # new in r03 (fill_holes, oracled)
         "ivf_topk": q_ivf_topk,
         "streaming_asof": q_streaming_asof,
         "streaming_dedup": q_streaming_dedup,
@@ -1500,6 +1540,25 @@ FROM inter
 JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+""",
+        # polygon_holes: analytic dual — axis-aligned integer rectangles
+        # rasterize pixel-exactly, so the rasterize -> background-CC ->
+        # border-reachability -> fill pipeline must reproduce closed-form
+        # pixel counts from vec_id arithmetic.
+        "polygon_holes": """
+SELECT vec_id,
+  CAST(CASE WHEN vec_id % 2 = 1
+       THEN d*d - (d-6)*(d-6) ELSE rw*rh END AS BIGINT) AS mask_area,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN d*d ELSE rw*rh END AS BIGINT) AS filled_area,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS INT) AS n_holes,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN (d-6)*(d-6) ELSE 0 END AS BIGINT) AS hole_area
+FROM (
+  SELECT vec_id,
+    (vec_id * 3) % 8 + 10 AS d,
+    (vec_id * 3) % 10 + 4 AS rw,
+    (vec_id * 5) % 10 + 4 AS rh
+  FROM embeddings
+)
 """,
         # corpus_curation: exact dual of the FLAGSHIP curation composite.
         # Stage features reuse the proven lang_id / text_quality /

@@ -46,7 +46,7 @@ def main() -> None:
         "six_stat_hierarchy", "weighted_mean", "interval_join",
         "percent_rank", "topk",
         "glcm_stats", "component_stats", "watershed_split",
-        "deconvolution", "polygon_components", "polygon_watershed",
+        "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",

@@ -473,3 +473,109 @@ def polygon_watershed_features(
             yield pd.concat([pdf[list(id_cols)], f], axis=1)
 
     return df.select(*cols).mapInPandas(run, schema)
+
+
+# ------------------------------------- 2-D reconstruction / hole fill
+
+def reconstruct_2d_numpy(
+    marker: np.ndarray, mask: np.ndarray, connectivity: int = 8
+) -> np.ndarray:
+    """Binary morphological reconstruction of ``marker`` under ``mask``:
+    the union of mask components that intersect the marker (the fixpoint
+    of iterated dilation-and-clip, computed directly from the component
+    labeling instead of iterating). The in-UDF dual of the reference's
+    ``imreconstruct`` (extract_ffpe_features.py:6, used to recover
+    boundary-touching membrane in process_mc_features.py:95)."""
+    marker = marker & mask
+    if not marker.any():
+        return np.zeros_like(mask)
+    labels, n = label_components_numpy(mask, connectivity)
+    keep = np.zeros(n + 1, dtype=bool)
+    keep[np.unique(labels[marker])] = True
+    keep[0] = False
+    return keep[labels]
+
+
+def fill_holes_numpy(
+    mask: np.ndarray, connectivity: int = 4
+) -> tuple[np.ndarray, int, int]:
+    """Fill background regions not connected to the array border — the
+    reference's ``binary_fill_holes`` step ahead of per-object
+    measurement (extract_reference_features.py:106,482). Background is
+    labeled with the COMPLEMENTARY connectivity convention (4-connected
+    foreground pairs with 8-connected background and vice versa — the
+    standard digital-topology pairing, matching scipy's default
+    structure). Returns (filled_mask, n_holes, hole_area)."""
+    h, w = mask.shape
+    if h == 0 or w == 0:
+        return mask.copy(), 0, 0
+    bg_conn = 8 if connectivity == 4 else 4
+    bg_labels, n_bg = label_components_numpy(~mask, bg_conn)
+    if n_bg == 0:
+        return mask.copy(), 0, 0
+    border = np.zeros(n_bg + 1, dtype=bool)
+    for edge in (bg_labels[0, :], bg_labels[-1, :], bg_labels[:, 0], bg_labels[:, -1]):
+        border[np.unique(edge)] = True
+    hole = ~border
+    hole[0] = False
+    hole_mask = hole[bg_labels]
+    filled = mask | hole_mask
+    n_holes = int(np.count_nonzero(hole[1:]))
+    return filled, n_holes, int(hole_mask.sum())
+
+
+HOLE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("mask_area", T.LongType(), True),
+        T.StructField("filled_area", T.LongType(), True),
+        T.StructField("n_holes", T.IntegerType(), True),
+        T.StructField("hole_area", T.LongType(), True),
+    ]
+)
+
+
+def hole_features_numpy(points: np.ndarray, connectivity: int = 4) -> tuple:
+    """Rasterize → fill_holes → measure: (mask_area, filled_area,
+    n_holes, hole_area), one polygon, in-UDF. Even-odd fill of a ring
+    polygon (outer square + inner square traced as one ring) produces an
+    annulus whose cavity this op recovers — the reference's
+    fill-then-measure shape (extract_reference_features.py:106)."""
+    mask, _, _ = rasterize_polygon_numpy(points)
+    area = int(mask.sum())
+    if area == 0:
+        return 0, 0, 0, 0
+    filled, n_holes, hole_area = fill_holes_numpy(mask, connectivity)
+    return area, int(filled.sum()), n_holes, hole_area
+
+
+def polygon_hole_features(
+    df: DataFrame,
+    points_col: str,
+    id_cols: Sequence[str],
+    connectivity: int = 4,
+) -> DataFrame:
+    """id_cols + HOLE_FEATURES_SCHEMA per polygon row — same pure-map
+    100 TB shape as the other rasterize operators (no shuffle, masks
+    in-UDF only)."""
+    id_fields = [df.schema[c] for c in id_cols]
+    schema = T.StructType(list(id_fields) + list(HOLE_FEATURES_SCHEMA.fields))
+    cols = list(id_cols) + [points_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                hole_features_numpy(
+                    np.array([list(p) for p in pts]), connectivity
+                )
+                if pts is not None and len(pts) >= 3
+                else (0, 0, 0, 0)
+                for pts in pdf[points_col]
+            ]
+            f = pd.DataFrame(
+                feats,
+                columns=[x.name for x in HOLE_FEATURES_SCHEMA.fields],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[list(id_cols)], f], axis=1)
+
+    return df.select(*cols).mapInPandas(run, schema)

@@ -278,3 +278,100 @@ def test_watershed_splits_dumbbell(spark):
     assert out[2]["largest_area"] == out[2]["mask_area"] == 108
     # largest centroid sits inside one of the dumbbell blocks, not the neck
     assert not (A < out[1]["largest_cx"] < A + N)
+
+
+# ------------------------------- 2-D reconstruction / hole filling
+
+
+def test_reconstruct_matches_bfs():
+    """Binary reconstruction parity vs an independent iterated
+    dilate-and-clip reference on random marker/mask pairs."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        reconstruct_2d_numpy,
+    )
+
+    rng = np.random.default_rng(13)
+    for conn in (4, 8):
+        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)] + (
+            [(-1, -1), (-1, 1), (1, -1), (1, 1)] if conn == 8 else []
+        )
+        for _ in range(5):
+            h, w = rng.integers(4, 18, 2)
+            mask = rng.random((h, w)) < 0.55
+            marker = mask & (rng.random((h, w)) < 0.15)
+            got = reconstruct_2d_numpy(marker, mask, conn)
+            # reference: BFS flood from marker through mask
+            want = marker.copy()
+            frontier = list(map(tuple, np.argwhere(want)))
+            while frontier:
+                r, c = frontier.pop()
+                for dr, dc in offs:
+                    nr, nc = r + dr, c + dc
+                    if 0 <= nr < h and 0 <= nc < w and mask[nr, nc] and not want[nr, nc]:
+                        want[nr, nc] = True
+                        frontier.append((nr, nc))
+            assert (got == want).all(), conn
+
+
+def test_fill_holes_matches_border_flood():
+    """Hole filling parity vs an independent flood-from-border reference
+    (background reachable from the border stays background, the rest
+    fills), under the complementary-connectivity convention."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        fill_holes_numpy,
+    )
+
+    rng = np.random.default_rng(21)
+    for conn, bg_offs in (
+        (4, [(-1, 0), (1, 0), (0, -1), (0, 1),
+             (-1, -1), (-1, 1), (1, -1), (1, 1)]),   # fg 4 ↔ bg 8
+        (8, [(-1, 0), (1, 0), (0, -1), (0, 1)]),     # fg 8 ↔ bg 4
+    ):
+        for _ in range(5):
+            h, w = rng.integers(4, 18, 2)
+            mask = rng.random((h, w)) < 0.6
+            filled, n_holes, hole_area = fill_holes_numpy(mask, conn)
+            reach = np.zeros((h, w), dtype=bool)
+            frontier = []
+            for r in range(h):
+                for c in range(w):
+                    if (r in (0, h - 1) or c in (0, w - 1)) and not mask[r, c]:
+                        reach[r, c] = True
+                        frontier.append((r, c))
+            while frontier:
+                r, c = frontier.pop()
+                for dr, dc in bg_offs:
+                    nr, nc = r + dr, c + dc
+                    if 0 <= nr < h and 0 <= nc < w and not mask[nr, nc] and not reach[nr, nc]:
+                        reach[nr, nc] = True
+                        frontier.append((nr, nc))
+            want = mask | (~mask & ~reach)
+            assert (filled == want).all(), conn
+            assert hole_area == int((~mask & ~reach).sum())
+
+
+def test_polygon_hole_features_annulus(spark):
+    """An annulus (outer + inner square traced as one even-odd ring) has
+    exactly one hole; fill recovers the full outer square."""
+    import pandas as pd
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_hole_features,
+    )
+
+    annulus = [
+        [0, 0], [12, 0], [12, 12], [0, 12], [0, 0],
+        [3, 3], [9, 3], [9, 9], [3, 9], [3, 3],
+    ]
+    rect = [[0, 0], [10, 0], [10, 6], [0, 6]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "points": [annulus, rect]})
+    )
+    out = {
+        r["pid"]: r for r in polygon_hole_features(df, "points", ["pid"]).collect()
+    }
+    assert out[1]["n_holes"] == 1
+    assert out[1]["filled_area"] == 144
+    assert out[1]["mask_area"] == 144 - 36
+    assert out[1]["hole_area"] == 36
+    assert out[2]["n_holes"] == 0
+    assert out[2]["filled_area"] == out[2]["mask_area"] == 60
