@@ -1148,6 +1148,62 @@ def q_polygon_holes(spark, sf_dir):
     return polygon_hole_features(poly, "points", ["vec_id"])
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL media decode, ORACLED: pure-numpy codecs (no cv2/PIL/librosa)
+    for binary netpbm and RIFF/WAVE PCM (multimodal/binary.py). Payloads
+    are CONSTRUCTED deterministically in Spark — even vec_ids a P6 PPM
+    4×3 whose pixel byte j = (v·7+j·13) mod 256, odd ids a 16-bit PCM
+    WAV whose sample k = signed16((v·31+k·17) mod 65536) — then decoded
+    through the full mapInPandas path (magic sniff, header parse,
+    dimension math, little-endian samples). The DuckDB dual recomputes
+    the decoded-domain stats from the same arithmetic, so a header
+    off-by-one, stride or byte-order bug breaks the hash match. The
+    payload-construction lambda is test-rig-only (500 rows), not a hot
+    path; production reads real bytes."""
+    from combinedfeatureextraction_spark.multimodal.binary import (
+        extract_decoded_features,
+    )
+
+    _PPM_HDR = "50360A3420330A3235350A"  # "P6\n4 3\n255\n"
+    _WAV_HDR = (  # RIFF/WAVE, PCM, mono, 8 kHz, 16-bit, 32-byte data
+        "524946464400000057415645666D7420100000000100"
+        "0100401F0000803E0000020010006461746120000000"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    ppm_body = F.expr(
+        "array_join(transform(sequence(0, 35), "
+        "j -> lpad(hex((vec_id * 7 + j * 13) % 256), 2, '0')), '')"
+    )
+    wav_body = F.expr(
+        "array_join(transform(sequence(0, 15), k -> concat("
+        "lpad(hex(((vec_id * 31 + k * 17) % 65536) % 256), 2, '0'), "
+        "lpad(hex(((vec_id * 31 + k * 17) % 65536) div 256), 2, '0'))), '')"
+    )
+    media = emb.select(
+        v.alias("media_id"),
+        F.when(v % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias(
+            "media_type"
+        ),
+        F.unhex(
+            F.when(v % 2 == 0, F.concat(F.lit(_PPM_HDR), ppm_body)).otherwise(
+                F.concat(F.lit(_WAV_HDR), wav_body)
+            )
+        ).alias("payload"),
+        F.struct(
+            F.lit(0).alias("width"), F.lit(0).alias("height"),
+            F.lit(0).alias("n_frames"), F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    out = extract_decoded_features(media)
+    return out.select(
+        "media_id", "media_type", "n_samples",
+        _r("sample_mean").alias("sample_mean"),
+        _r("sample_std").alias("sample_std"),
+        "width", "height", "channels",
+    )
+
+
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
@@ -1187,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_components": q_polygon_components,  # new in r03
         "polygon_watershed": q_polygon_watershed,  # new in r03 (2-D watershed)
         "polygon_holes": q_polygon_holes,  # new in r03 (fill_holes, oracled)
+        "media_decode": q_media_decode,  # new in r03 (real codecs, oracled)
         "fingerprint": q_fingerprint,  # impl changed in r03 (lambda-free agg) -> keep in window
         "lang_id": q_lang_id,  # impl changed in r03 (NULL->und fix) -> keep in window
         "ivf_topk": q_ivf_topk,
@@ -1540,6 +1597,36 @@ FROM inter
 JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+""",
+        # media_decode: analytic dual — payload bytes are constructed
+        # from vec_id arithmetic, so the DECODED-domain stats (after the
+        # numpy netpbm/WAV codecs parse headers, dimensions and
+        # little-endian samples) must equal the same arithmetic
+        # recomputed directly.
+        "media_decode": """
+SELECT vec_id AS media_id,
+  CASE WHEN vec_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  CASE WHEN vec_id % 2 = 0 THEN 36 ELSE 16 END AS n_samples,
+  round(CASE WHEN vec_id % 2 = 0
+    THEN list_aggregate(list_transform(generate_series(0, 35),
+         j -> CAST((vec_id * 7 + j * 13) % 256 AS DOUBLE)), 'avg')
+    ELSE list_aggregate(list_transform(generate_series(0, 15),
+         k -> CAST(((vec_id * 31 + k * 17) % 65536 + 32768) % 65536 - 32768 AS DOUBLE)), 'avg')
+    END, 6) AS sample_mean,
+  round(CASE WHEN vec_id % 2 = 0
+    THEN sqrt(list_aggregate(list_transform(generate_series(0, 35),
+         j -> pow(CAST((vec_id * 7 + j * 13) % 256 AS DOUBLE), 2)), 'avg')
+         - pow(list_aggregate(list_transform(generate_series(0, 35),
+           j -> CAST((vec_id * 7 + j * 13) % 256 AS DOUBLE)), 'avg'), 2))
+    ELSE sqrt(list_aggregate(list_transform(generate_series(0, 15),
+         k -> pow(CAST(((vec_id * 31 + k * 17) % 65536 + 32768) % 65536 - 32768 AS DOUBLE), 2)), 'avg')
+         - pow(list_aggregate(list_transform(generate_series(0, 15),
+           k -> CAST(((vec_id * 31 + k * 17) % 65536 + 32768) % 65536 - 32768 AS DOUBLE)), 'avg'), 2))
+    END, 6) AS sample_std,
+  CASE WHEN vec_id % 2 = 0 THEN 4 ELSE NULL END AS width,
+  CASE WHEN vec_id % 2 = 0 THEN 3 ELSE NULL END AS height,
+  CASE WHEN vec_id % 2 = 0 THEN 3 ELSE 1 END AS channels
+FROM embeddings
 """,
         # polygon_holes: analytic dual — axis-aligned integer rectangles
         # rasterize pixel-exactly, so the rasterize -> background-CC ->

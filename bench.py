@@ -47,6 +47,7 @@ def main() -> None:
         "percent_rank", "topk",
         "glcm_stats", "component_stats", "watershed_split",
         "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
+        "media_decode",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",

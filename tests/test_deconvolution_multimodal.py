@@ -81,3 +81,73 @@ def test_media_real_decode_raises(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"x", "image")
+
+
+# ----------------------------------- real codecs (pure numpy, no libs)
+
+
+def test_decode_ppm_roundtrip():
+    from combinedfeatureextraction_spark.multimodal.binary import decode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    arr, w, h, ch = decode_ppm(payload)
+    assert (w, h, ch) == (7, 5, 3)
+    assert (arr == img.astype(np.float64).ravel()).all()
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    arr, w, h, ch = decode_ppm(b"P5 6 4 255\n" + gray.tobytes())
+    assert (w, h, ch) == (6, 4, 1)
+    assert (arr == gray.astype(np.float64).ravel()).all()
+
+
+def test_decode_wav_roundtrip():
+    import struct
+
+    from combinedfeatureextraction_spark.multimodal.binary import decode_wav
+
+    rng = np.random.default_rng(4)
+    samples = rng.integers(-32768, 32768, 33, dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    arr, rate, ch = decode_wav(payload)
+    assert (rate, ch) == (8000, 1)
+    assert (arr == samples.astype(np.float64)).all()
+
+
+def test_decode_bmp_roundtrip():
+    import struct
+
+    from combinedfeatureextraction_spark.multimodal.binary import decode_bmp
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)  # h=3 w=5 RGB
+    stride = (5 * 3 + 3) & ~3
+    rows = []
+    for r in range(2, -1, -1):  # bottom-up
+        row = img[r, :, ::-1].tobytes()  # RGB → BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 24, 0, len(pixel_data),
+                      2835, 2835, 0, 0)
+    )
+    arr, w, h, ch = decode_bmp(header + pixel_data)
+    assert (w, h, ch) == (5, 3, 3)
+    assert (arr == img.astype(np.float64).ravel()).all()
+
+
+def test_decode_unknown_magic_raises():
+    import pytest as _pytest
+
+    from combinedfeatureextraction_spark.multimodal.binary import _decode_real
+
+    with _pytest.raises(NotImplementedError):
+        _decode_real(b"\x89PNG\r\n\x1a\n....", "image")
