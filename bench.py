@@ -83,6 +83,17 @@ def main() -> None:
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    # apples-to-apples subtotal vs BENCH_r02: the r02 headline set, minus
+    # simhash_dedup whose registry query changed semantics in r03
+    # (oracle-able md5 variant + planted twins; see BASELINE.md note)
+    _r02_common = [
+        q for q in headline
+        if q not in ("polygon_components", "polygon_watershed",
+                     "polygon_holes", "media_decode", "simhash_dedup")
+    ]
+    common_r02 = round(
+        sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_sec",
@@ -90,6 +101,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": timings_cold,
+        "common_with_r02_sec": common_r02,
         "timing": "best-of-2 (queries) + first-run (queries_cold)",
         "sf": float(sf),
         "cpus": CPUS,

@@ -430,10 +430,12 @@ def _asof_broadcast(
     # projection and explodes. spark_partition_id() ≥ 0 is always true,
     # costs one codegen'd int read per row, is streaming-safe, and makes
     # the _m projection non-deterministic so PushDownPredicates and
-    # CollapseProject both stop here permanently. Probe-column predicates
-    # still push to the scan (the level projections pass them through as
-    # plain attributes); value-column predicates evaluate above _m —
-    # callers should filter the PROBE before any enrichment join anyway.
+    # CollapseProject both stop here permanently. NOTE the cost: Spark
+    # only pushes predicates through fully-deterministic projections, so
+    # ALL downstream filters (probe-column ones included) evaluate above
+    # the barrier instead of reaching the scan — filter the PROBE BEFORE
+    # the join (the right pattern for any enrichment join; plan-locked in
+    # tests/test_plans.py).
     out = cur.select(
         "*",
         F.when(F.spark_partition_id() >= 0, match_expr).alias("_m"),
