@@ -1204,6 +1204,42 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_polygon_edt(spark, sf_dir):
+    """The reference's ARTERY COMPOSITE (points_to_features_art,
+    extract_reference_features.py:432-503): rasterize → EDT → max
+    inscribed radius + mean interior distance → interior segmentation
+    (deterministic dist>0.3·max analog of the LAB-luminance threshold,
+    line 476) → fill holes (line 482) → re-EDT → luminal ratio
+    max(WSdist)/distMax (line 503). ORACLED analytically on rectangles:
+    inside an axis-aligned rectangle the nearest background is always
+    axis-aligned, so EDT(r,c) = min(r+1, h−r, c+1, w−c) exactly; DuckDB
+    enumerates the cells and reproduces max/mean/threshold-margin in
+    closed form — a per-pixel check of the whole EDT→segment→fill→EDT
+    chain."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_edt_features,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
+    w, h = F.pmod(v * 3, F.lit(10)) + 5, F.pmod(v * 5, F.lit(10)) + 5
+    rect = F.array(
+        F.array(x0, y0), F.array(x0 + w, y0),
+        F.array(x0 + w, y0 + h), F.array(x0, y0 + h),
+    )
+    poly = emb.select("vec_id", rect.alias("points"))
+    out = polygon_edt_features(poly, "points", ["vec_id"])
+    return out.select(
+        "vec_id", "mask_area",
+        _r("dist_max").alias("dist_max"),
+        _r("mean_dist").alias("mean_dist"),
+        "seg_area",
+        _r("seg_dist_max").alias("seg_dist_max"),
+        _r("luminal_ratio").alias("luminal_ratio"),
+    )
+
+
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
@@ -1244,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_watershed": q_polygon_watershed,  # new in r03 (2-D watershed)
         "polygon_holes": q_polygon_holes,  # new in r03 (fill_holes, oracled)
         "media_decode": q_media_decode,  # new in r03 (real codecs, oracled)
+        "polygon_edt": q_polygon_edt,  # new in r03 (artery EDT composite, oracled)
         "fingerprint": q_fingerprint,  # impl changed in r03 (lambda-free agg) -> keep in window
         "lang_id": q_lang_id,  # impl changed in r03 (NULL->und fix) -> keep in window
         "ivf_topk": q_ivf_topk,
@@ -1597,6 +1634,40 @@ FROM inter
 JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+""",
+        # polygon_edt: analytic dual — inside an axis-aligned rectangle
+        # the nearest background pixel is always axis-aligned, so
+        # EDT(r,c) = min(r+1, h-r, c+1, w-c) exactly; enumerate cells.
+        "polygon_edt": """
+WITH dims AS (
+  SELECT vec_id, (vec_id * 3) % 10 + 5 AS w, (vec_id * 5) % 10 + 5 AS h
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, w, h,
+         least((w + 1) // 2, (h + 1) // 2) AS dm,
+         CAST(floor(0.3 * least((w + 1) // 2, (h + 1) // 2)) AS BIGINT) AS mg
+  FROM dims
+),
+cells AS (
+  SELECT d.vec_id,
+         least(rr.r + 1, d.h - rr.r, cc.c + 1, d.w - cc.c) AS dval
+  FROM dims d
+  CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS r) rr
+  CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS c) cc
+  WHERE rr.r < d.h AND cc.c < d.w
+),
+md AS (SELECT vec_id, avg(dval) AS mean_d FROM cells GROUP BY vec_id)
+SELECT m.vec_id,
+  CAST(m.w * m.h AS BIGINT) AS mask_area,
+  round(CAST(m.dm AS DOUBLE), 6) AS dist_max,
+  round(md.mean_d, 6) AS mean_dist,
+  CAST((m.w - 2 * m.mg) * (m.h - 2 * m.mg) AS BIGINT) AS seg_area,
+  round(CAST(least((m.w - 2 * m.mg + 1) // 2, (m.h - 2 * m.mg + 1) // 2)
+        AS DOUBLE), 6) AS seg_dist_max,
+  round(CAST(least((m.w - 2 * m.mg + 1) // 2, (m.h - 2 * m.mg + 1) // 2)
+        AS DOUBLE) / m.dm, 6) AS luminal_ratio
+FROM m JOIN md USING (vec_id)
 """,
         # media_decode: analytic dual — payload bytes are constructed
         # from vec_id arithmetic, so the DECODED-domain stats (after the

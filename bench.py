@@ -47,7 +47,7 @@ def main() -> None:
         "percent_rank", "topk",
         "glcm_stats", "component_stats", "watershed_split",
         "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
-        "media_decode",
+        "media_decode", "polygon_edt",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
@@ -89,7 +89,7 @@ def main() -> None:
     _r02_common = [
         q for q in headline
         if q not in ("polygon_components", "polygon_watershed",
-                     "polygon_holes", "media_decode", "simhash_dedup")
+                     "polygon_holes", "media_decode", "polygon_edt", "simhash_dedup")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3

@@ -579,3 +579,82 @@ def polygon_hole_features(
             yield pd.concat([pdf[list(id_cols)], f], axis=1)
 
     return df.select(*cols).mapInPandas(run, schema)
+
+
+# -------------------------------------------- EDT composite features
+
+EDT_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("mask_area", T.LongType(), True),
+        T.StructField("dist_max", T.DoubleType(), True),
+        T.StructField("mean_dist", T.DoubleType(), True),
+        T.StructField("seg_area", T.LongType(), True),
+        T.StructField("seg_dist_max", T.DoubleType(), True),
+        T.StructField("luminal_ratio", T.DoubleType(), True),
+    ]
+)
+
+
+def edt_features_numpy(points: np.ndarray, rel_thresh: float = 0.3) -> tuple:
+    """The reference's artery composite (points_to_features_art,
+    extract_reference_features.py:432-503): rasterize → EDT → max
+    inscribed radius (distMax) and mean interior distance; then an
+    interior segmentation (here the deterministic analog ``dist >
+    rel_thresh·distMax`` standing in for the LAB-luminance threshold,
+    line 476) intersected with the mask, hole-filled
+    (binary_fill_holes, line 482), re-EDT'd, and summarized as the
+    luminal ratio max(WSdist)/distMax (line 503). All in-UDF numpy, one
+    polygon per row."""
+    mask, _, _ = rasterize_polygon_numpy(points)
+    area = int(mask.sum())
+    if area == 0:
+        return 0, None, None, 0, None, None
+    dist = distance_transform_numpy(mask)
+    dist_max = float(dist.max())
+    mean_dist = float(dist[mask].mean())
+    seg = mask & (dist > rel_thresh * dist_max)
+    seg, _, _ = fill_holes_numpy(seg)
+    seg_area = int(seg.sum())
+    if seg_area == 0:
+        return area, dist_max, mean_dist, 0, None, None
+    seg_dist = distance_transform_numpy(seg)
+    seg_max = float(seg_dist.max())
+    return (
+        area,
+        dist_max,
+        mean_dist,
+        seg_area,
+        seg_max,
+        seg_max / dist_max if dist_max > 0 else None,
+    )
+
+
+def polygon_edt_features(
+    df: DataFrame,
+    points_col: str,
+    id_cols: Sequence[str],
+    rel_thresh: float = 0.3,
+) -> DataFrame:
+    """id_cols + EDT_FEATURES_SCHEMA per polygon row — pure map, masks
+    and distance fields in-UDF only, same 100 TB shape as the other
+    rasterize operators."""
+    id_fields = [df.schema[c] for c in id_cols]
+    schema = T.StructType(list(id_fields) + list(EDT_FEATURES_SCHEMA.fields))
+    cols = list(id_cols) + [points_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                edt_features_numpy(np.array([list(p) for p in pts]), rel_thresh)
+                if pts is not None and len(pts) >= 3
+                else (0, None, None, 0, None, None)
+                for pts in pdf[points_col]
+            ]
+            f = pd.DataFrame(
+                feats,
+                columns=[x.name for x in EDT_FEATURES_SCHEMA.fields],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[list(id_cols)], f], axis=1)
+
+    return df.select(*cols).mapInPandas(run, schema)

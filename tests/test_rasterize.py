@@ -375,3 +375,49 @@ def test_polygon_hole_features_annulus(spark):
     assert out[1]["hole_area"] == 36
     assert out[2]["n_holes"] == 0
     assert out[2]["filled_area"] == out[2]["mask_area"] == 60
+
+
+def test_edt_features_rectangle_closed_form():
+    """Artery-composite features on a 10×7 rectangle match the axis-
+    aligned closed form (EDT = min(r+1, h−r, c+1, w−c))."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        edt_features_numpy,
+    )
+
+    w, h = 10, 7
+    pts = np.array([[0, 0], [w, 0], [w, h], [0, h]])
+    area, dmax, dmean, seg_area, seg_max, ratio = edt_features_numpy(pts)
+    dm = min((w + 1) // 2, (h + 1) // 2)
+    cells = [
+        min(r + 1, h - r, c + 1, w - c) for r in range(h) for c in range(w)
+    ]
+    mg = int(np.floor(0.3 * dm))
+    wi, hi = w - 2 * mg, h - 2 * mg
+    assert area == w * h
+    assert dmax == dm
+    assert abs(dmean - np.mean(cells)) < 1e-12
+    assert seg_area == wi * hi
+    assert seg_max == min((wi + 1) // 2, (hi + 1) // 2)
+    assert abs(ratio - seg_max / dm) < 1e-12
+
+
+def test_edt_features_nonconvex_consistency():
+    """On a non-convex L-shape the composite must agree with a direct
+    numpy recomputation through the same public primitives (EDT parity
+    itself is brute-force-tested separately)."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        distance_transform_numpy,
+        edt_features_numpy,
+        fill_holes_numpy,
+        rasterize_polygon_numpy,
+    )
+
+    pts = np.array([[0, 0], [12, 0], [12, 5], [5, 5], [5, 12], [0, 12]])
+    area, dmax, dmean, seg_area, seg_max, ratio = edt_features_numpy(pts)
+    mask, _, _ = rasterize_polygon_numpy(pts)
+    dist = distance_transform_numpy(mask)
+    assert area == int(mask.sum()) and dmax == float(dist.max())
+    seg = mask & (dist > 0.3 * dist.max())
+    seg, _, _ = fill_holes_numpy(seg)
+    assert seg_area == int(seg.sum())
+    assert seg_max == float(distance_transform_numpy(seg).max())
