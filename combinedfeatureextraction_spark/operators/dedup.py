@@ -484,7 +484,12 @@ def simhash_signatures(
     )
 
     def word(w: int) -> Column:
-        # sig bit i = majority: 2·count(bit set) > n (same as Σ±1 > 0)
+        # sig bit i = majority: 2·count(bit set) > n (same as Σ±1 > 0).
+        # (A SWAR lane-compare — one biased add testing four lanes at
+        # once — was prototyped and rejected: the top lane's compare bit
+        # lands on bit 63, so the add overflows signed 64-bit and ANSI
+        # mode throws; handling lane 3 separately costs as many ops as
+        # the CASE form.)
         terms = []
         for i in range(64):
             j, lane = i % 16, i // 16
