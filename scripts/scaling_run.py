@@ -167,7 +167,11 @@ def run(cpus: int) -> dict:
 
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     big_docs = docs
-    for _ in range(6):  # 5000 × 64 = 320k docs
+    # 5000 × 256 = 1.28M docs: the r03 probe shape (projection write +
+    # fingerprint_agg's explode/agg job) carries ~2 s of fixed two-job
+    # overhead, which at 320k docs compressed the 8→32 ratio into the
+    # noise — a 4× larger corpus puts compute back in charge
+    for _ in range(8):
         big_docs = big_docs.union(big_docs)
     big_docs = (
         big_docs.repartition(256)
