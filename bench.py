@@ -131,6 +131,10 @@ def main() -> None:
             "expected_full_efficiency_from_decomposition",
             "lsh_topk_speedup_8_to_32",
             "lsh_topk_scaling_efficiency_NtoN4",
+            "text_speedup_8_to_32",
+            "text_scaling_efficiency_NtoN4",
+            "methodology_note",
+            "best_window_reference_r02",
         ):
             if k in sc:
                 out["scaling"][k] = sc[k]
