@@ -1026,12 +1026,18 @@ def q_polygon_features(spark, sf_dir):
 def q_polygon_components(spark, sf_dir):
     """W4/W5 upstreamed to 2-D (round-3): rasterize → 2-D connected
     components → per-component measurement inside ONE mapInPandas
-    (FeatureExtractor.py:346-354 split-then-measure shape). Polygons are
-    deterministic from vec_id; odd ids get a self-intersecting bowtie
-    whose even-odd fill produces two disjoint lobes, even ids a
-    rectangle. Rows-only by design (the scanline rasterizer + union-find
-    labeler are in-UDF operators); partition parity vs an independent
-    BFS flood fill is proven in tests/test_rasterize.py."""
+    (FeatureExtractor.py:346-354 split-then-measure shape). ORACLED
+    analytically (round-4): odd vec_ids trace TWO disjoint axis-aligned
+    rectangles as one even-odd ring (a horizontal retraced bridge joins
+    them; horizontal edges never cross a scanline, so the fill is the
+    two rectangles exactly — pixel-exact per tests/test_rasterize.py::
+    test_rectangle_exact), with the right rectangle strictly wider so
+    the largest component is unique. Even ids get a plain rectangle.
+    Component count / areas / centroids are then closed-form vec_id
+    arithmetic that DuckDB recomputes — an end-to-end check of
+    rasterize → union-find labeling → per-component measurement.
+    Irregular-shape (bowtie) parity stays covered by the independent
+    BFS flood-fill test in tests/test_rasterize.py."""
     from combinedfeatureextraction_spark.multimodal.rasterize import (
         polygon_component_features,
     )
@@ -1040,17 +1046,20 @@ def q_polygon_components(spark, sf_dir):
     v = F.col("vec_id")
     x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
     w, h = F.pmod(v * 3, F.lit(20)) + 2, F.pmod(v * 5, F.lit(20)) + 2
+    x1, w2 = x0 + w + 2, w + 2  # right rect: 1-col gap, strictly wider
     rect = F.array(
         F.array(x0, y0), F.array(x0 + w, y0),
         F.array(x0 + w, y0 + h), F.array(x0, y0 + h),
     )
-    bowtie = F.array(
-        F.array(x0, y0), F.array(x0 + w, y0 + h),
-        F.array(x0 + w, y0), F.array(x0, y0 + h),
+    tworect = F.array(
+        F.array(x0, y0), F.array(x0 + w, y0),
+        F.array(x0 + w, y0 + h), F.array(x0, y0 + h), F.array(x0, y0),
+        F.array(x1, y0), F.array(x1 + w2, y0),
+        F.array(x1 + w2, y0 + h), F.array(x1, y0 + h), F.array(x1, y0),
     )
     poly = emb.select(
         "vec_id",
-        F.when(v % 2 == 1, bowtie).otherwise(rect).alias("points"),
+        F.when(v % 2 == 1, tworect).otherwise(rect).alias("points"),
     )
     out = polygon_component_features(poly, "points", ["vec_id"])
     return out.select(
@@ -1070,9 +1079,20 @@ def q_polygon_watershed(spark, sf_dir):
     watershed). Polygons deterministic from vec_id: odd ids get a
     DUMBBELL (two blocks joined by a thin neck — EDT peaks in the block
     cores, the flood splits at the neck → 2 objects), even ids a plain
-    rectangle (1 object). Rows-only by design (EDT/flood are in-UDF
-    operators); exact-EDT parity vs brute force and flood invariants are
-    proven in tests/test_rasterize.py."""
+    rectangle (1 object). ORACLED analytically (round-4): the dumbbell
+    is SYMMETRIC (equal blocks, even neck length), so the deterministic
+    priority flood splits the neck exactly at its midpoint and the two
+    equal basins tie — argmax picks the lowest label = the LEFT basin
+    (markers are numbered in raster order). Basin count, areas, the
+    left-basin centroid (block + left neck half, closed-form weighted
+    mean) and area_ratio = 0.5 are all vec_id arithmetic that DuckDB
+    recomputes — an end-to-end check of rasterize → exact EDT →
+    plateau markers → priority flood → measurement, incl. the genuine
+    neck split. The closed form is pinned against the numpy kernel for
+    every fixture row by tests/test_rasterize.py::
+    test_watershed_fixture_closed_form (so an algorithm change trips
+    pytest before the driver gate); exact-EDT parity vs brute force and
+    flood invariants are proven there too."""
     from combinedfeatureextraction_spark.multimodal.rasterize import (
         polygon_watershed_features,
     )
@@ -1243,17 +1263,25 @@ def q_polygon_edt(spark, sf_dir):
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
-    analog), Arrow-batched applyInPandas per entity bucket. Rows-only by
-    design: the peak/plateau/valley cascade is the in-UDF operator SURVEY
-    §7 assigns to UDF space; parity is proven against an independent
-    numpy oracle in tests/test_watershed.py."""
+    analog), Arrow-batched applyInPandas per entity bucket. FULLY ORACLED
+    (round-4): the peak/plateau/valley cascade is order-dependent but
+    SQL-expressible — peaks are rows that rise on the left (or start)
+    whose NEXT nonzero value change is a drop (IGNORE-NULLS forward
+    first_value over the step signs, the exact dual of the numpy
+    backward-filled next-direction scan), the valley between consecutive
+    peaks is the first argmin strictly between them (rows sharing the
+    same prev-peak/next-peak pair form the interval), and the subsession
+    id counts valleys strictly before the row. Independent numpy-oracle
+    parity stays in tests/test_watershed.py."""
     from combinedfeatureextraction_spark.operators.watershed import (
         watershed_split,
     )
 
     ev = _t(spark, sf_dir, "events")
     s = sessionize(ev, ["user_id"], "ts", GAP)
-    out = watershed_split(s, ["user_id"], "ts", "value")
+    out = watershed_split(
+        s, ["user_id"], "ts", "value", tiebreak=["event_id"]
+    )
     return out.select("event_id", "user_id", "session_id", "subsession_id")
 
 
@@ -1715,6 +1743,111 @@ FROM (
     (vec_id * 3) % 8 + 10 AS d,
     (vec_id * 3) % 10 + 4 AS rw,
     (vec_id * 5) % 10 + 4 AS rh
+  FROM embeddings
+)
+""",
+        # watershed_split: exact SQL dual of the 1-D marker watershed.
+        # Peaks: rows rising on the left (or session start) whose NEXT
+        # nonzero step sign is a drop (IGNORE-NULLS forward first_value
+        # = the numpy backward-filled next-direction). Rows sharing the
+        # same (prev peak, next peak) pair form the inter-peak interval;
+        # the valley is its first argmin (ORDER BY value, rn); the
+        # subsession id counts valleys strictly before the row.
+        "watershed_split": f"""
+WITH s AS ({_SESSION_ID_SQL}),
+st AS (
+  SELECT *, row_number() OVER w AS rn,
+    lag(value) OVER w AS pv,
+    sign(lead(value) OVER w - value) AS step
+  FROM s
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+),
+pk AS (
+  SELECT *,
+    CASE WHEN (pv IS NULL OR value > pv)
+          AND coalesce(
+            first_value(CASE WHEN step <> 0 THEN step END IGNORE NULLS)
+              OVER (PARTITION BY user_id, session_id ORDER BY rn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+            0) <= 0
+         THEN 1 END AS peak
+  FROM st
+),
+ab AS (
+  SELECT *,
+    max(CASE WHEN peak = 1 THEN rn END) OVER
+      (PARTITION BY user_id, session_id ORDER BY rn
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a,
+    min(CASE WHEN peak = 1 THEN rn END) OVER
+      (PARTITION BY user_id, session_id ORDER BY rn
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b
+  FROM pk
+),
+vl AS (
+  SELECT *,
+    CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN
+      row_number() OVER
+        (PARTITION BY user_id, session_id, a, b ORDER BY value, rn)
+    END AS vrank
+  FROM ab
+)
+SELECT event_id, user_id, session_id,
+  CAST(coalesce(sum(CASE WHEN vrank = 1 THEN 1 END) OVER
+    (PARTITION BY user_id, session_id ORDER BY rn
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS subsession_id
+FROM vl
+""",
+        # polygon_components: analytic dual — odd ids trace two disjoint
+        # rectangles as one even-odd ring (horizontal bridge edges are
+        # invisible to the scanline), even ids one rectangle; integer
+        # axis-aligned rectangles rasterize pixel-exactly, so component
+        # count/areas/centroids are closed-form vec_id arithmetic.
+        "polygon_components": """
+SELECT vec_id,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN (2*w + 2) * h ELSE w * h END AS BIGINT)
+    AS mask_area,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN 2 ELSE 1 END AS INT) AS n_components,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN (w + 2) * h ELSE w * h END AS BIGINT)
+    AS largest_area,
+  round(CASE WHEN vec_id % 2 = 1
+        THEN x0 + w + 2 + (w + 2) / 2.0 ELSE x0 + w / 2.0 END, 6) AS largest_cx,
+  round(y0 + h / 2.0, 6) AS largest_cy,
+  round(CASE WHEN vec_id % 2 = 1
+        THEN (w + 2.0) / (2*w + 2.0) ELSE 1.0 END, 6) AS area_ratio
+FROM (
+  SELECT vec_id,
+    (vec_id * 7) % 50 AS x0, (vec_id * 13) % 50 AS y0,
+    (vec_id * 3) % 20 + 2 AS w, (vec_id * 5) % 20 + 2 AS h
+  FROM embeddings
+)
+""",
+        # polygon_watershed: analytic dual — even ids a rectangle (one
+        # EDT peak -> one basin = the whole mask); odd ids a SYMMETRIC
+        # dumbbell (blocks a x hh joined by a 6 x 2 neck): the
+        # deterministic priority flood splits the neck at its midpoint,
+        # the equal basins tie and argmax keeps the lowest label = the
+        # LEFT basin, whose area/centroid are closed-form (block + left
+        # neck half). Pinned vs the numpy kernel for every fixture row by
+        # tests/test_rasterize.py::test_watershed_fixture_closed_form.
+        "polygon_watershed": """
+SELECT vec_id,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN 2*a*hh + 12 ELSE a*hh END AS BIGINT)
+    AS mask_area,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN 2 ELSE 1 END AS INT) AS n_objects,
+  CAST(CASE WHEN vec_id % 2 = 1 THEN a*hh + 6 ELSE a*hh END AS BIGINT)
+    AS largest_area,
+  round(CASE WHEN vec_id % 2 = 1
+        THEN (a*hh*(x0 + a/2.0) + 6*(x0 + a + 1.5)) / (a*hh + 6)
+        ELSE x0 + a/2.0 END, 6) AS largest_cx,
+  round(CASE WHEN vec_id % 2 = 1
+        THEN (a*hh*(y0 + hh/2.0) + 6*(y0 + hh // 2)) / (a*hh + 6)
+        ELSE y0 + hh/2.0 END, 6) AS largest_cy,
+  round(CASE WHEN vec_id % 2 = 1 THEN 0.5 ELSE 1.0 END, 6) AS area_ratio
+FROM (
+  SELECT vec_id,
+    (vec_id * 7) % 50 AS x0, (vec_id * 13) % 50 AS y0,
+    (vec_id * 3) % 8 + 8 AS a, (vec_id * 5) % 6 + 10 AS hh
   FROM embeddings
 )
 """,

@@ -77,12 +77,16 @@ def watershed_split(
     session_col: str = "session_id",
     out: str = "subsession_id",
     bucket_count: int = 32,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Split every (entity, session) at value-valleys between value-peaks.
 
     Output: input columns + ``out`` (0-based subsession id within the
     session). One shuffle on the entity-hash bucket; inside a bucket the
-    work is a vectorized numpy pass per session."""
+    work is a vectorized numpy pass per session. ``tiebreak``: extra
+    sort columns after ``ts`` — pass a unique id when ``ts`` can repeat
+    within an entity, otherwise the within-tie order (and therefore the
+    peak/valley scan) inherits nondeterministic shuffle order."""
     keys = list(keys)
     bucket = "__cfe_bucket"
     schema = T.StructType(
@@ -91,7 +95,9 @@ def watershed_split(
     in_cols = df.columns
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([*keys, session_col, ts], kind="mergesort")
+        pdf = pdf.sort_values(
+            [*keys, session_col, ts, *tiebreak], kind="mergesort"
+        )
         sub = np.concatenate(
             [
                 split_session_numpy(g[value].to_numpy(dtype=np.float64))

@@ -421,3 +421,67 @@ def test_edt_features_nonconvex_consistency():
     seg, _, _ = fill_holes_numpy(seg)
     assert seg_area == int(seg.sum())
     assert seg_max == float(distance_transform_numpy(seg).max())
+
+
+def test_watershed_fixture_closed_form():
+    """Pins the polygon_watershed ORACLE's analytic claim against the
+    numpy kernel for every sf0.01 fixture row: the symmetric dumbbell
+    (equal blocks a x hh, even 6 x 2 neck) splits at the neck midpoint,
+    the equal basins tie, and argmax keeps the LEFT basin (lowest
+    label). If the flood's tie-break or marker numbering ever changes,
+    this trips BEFORE the driver gate does."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        watershed_features_numpy,
+    )
+
+    for v in range(500):
+        x0, y0 = (v * 7) % 50, (v * 13) % 50
+        a, hh = (v * 3) % 8 + 8, (v * 5) % 6 + 10
+        if v % 2 == 0:
+            pts = [(x0, y0), (x0 + a, y0), (x0 + a, y0 + hh), (x0, y0 + hh)]
+            exp = (a * hh, 1, a * hh, x0 + a / 2, y0 + hh / 2, 1.0)
+        else:
+            nk, yc = 6, y0 + hh // 2
+            pts = [
+                (x0, y0), (x0 + a, y0), (x0 + a, yc - 1),
+                (x0 + a + nk, yc - 1), (x0 + a + nk, y0),
+                (x0 + 2 * a + nk, y0), (x0 + 2 * a + nk, y0 + hh),
+                (x0 + a + nk, y0 + hh), (x0 + a + nk, yc + 1),
+                (x0 + a, yc + 1), (x0 + a, y0 + hh), (x0, y0 + hh),
+            ]
+            blk, nkh = a * hh, nk // 2 * 2
+            exp = (
+                2 * a * hh + 2 * nk, 2, blk + nkh,
+                (blk * (x0 + a / 2) + nkh * (x0 + a + nk / 4)) / (blk + nkh),
+                (blk * (y0 + hh / 2) + nkh * yc) / (blk + nkh),
+                0.5,
+            )
+        got = watershed_features_numpy(np.array(pts))
+        assert got[:3] == exp[:3], (v, got, exp)
+        assert abs(got[3] - exp[3]) < 1e-9 and abs(got[4] - exp[4]) < 1e-9
+        assert abs(got[5] - exp[5]) < 1e-12
+
+
+def test_component_fixture_closed_form():
+    """Same pin for the polygon_components oracle: two disjoint
+    rectangles traced as one even-odd ring via a horizontal retraced
+    bridge rasterize to exactly the two rectangles (horizontal edges
+    never cross a scanline), the wider right rectangle is the unique
+    largest component."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        component_features_numpy,
+    )
+
+    for v in range(1, 500, 2):
+        x0, y0 = (v * 7) % 50, (v * 13) % 50
+        w, h = (v * 3) % 20 + 2, (v * 5) % 20 + 2
+        x1, w2 = x0 + w + 2, w + 2
+        pts = [
+            (x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+            (x0, y0), (x1, y0), (x1 + w2, y0), (x1 + w2, y0 + h),
+            (x1, y0 + h), (x1, y0),
+        ]
+        area, n, largest, cx, cy, ratio = component_features_numpy(np.array(pts))
+        assert (area, n, largest) == ((2 * w + 2) * h, 2, w2 * h), v
+        assert abs(cx - (x1 + w2 / 2)) < 1e-9 and abs(cy - (y0 + h / 2)) < 1e-9
+        assert abs(ratio - w2 * h / ((2 * w + 2) * h)) < 1e-12
