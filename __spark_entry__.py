@@ -1224,6 +1224,67 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_decode_png(spark, sf_dir):
+    """COMPRESSED media decode, ORACLED (round-4): pure-stdlib PNG
+    (zlib inflate + per-scanline unfilter — multimodal/binary.py:
+    decode_png; reference analog: the slide-payload decode path S2,
+    FeatureExtractor.py:300). Payloads are PNGs built per vec_id by the
+    test-rig encoder (filters cycling None/Sub/Up/Average/Paeth, so all
+    five unfilter branches run) over pixel byte j = (v·7+j·13) mod 256;
+    vec_id mod 3 picks gray 4×6 / RGB 3×4 / RGBA 3×3. The DuckDB dual
+    recomputes the decoded-domain stats from the same arithmetic — a
+    filter-reconstruction, dimension or channel bug breaks the hash.
+    Encoder↔spec conformance is pinned independently against Java
+    ImageIO (tests/test_deconvolution_multimodal.py), so encoder+decoder
+    can't drift together. The per-row encode rig is test-only (500
+    rows); production reads real bytes."""
+    from combinedfeatureextraction_spark.multimodal.binary import (
+        extract_decoded_features,
+    )
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def rig(batches):
+        import numpy as np
+        import pandas as pd
+
+        from combinedfeatureextraction_spark.multimodal.binary import (
+            encode_png_numpy,
+        )
+
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                v = int(v)
+                h, w, ch = ((6, 4, 1), (4, 3, 3), (3, 3, 4))[v % 3]
+                px = (
+                    (v * 7 + np.arange(h * w * ch) * 13) % 256
+                ).astype(np.uint8).reshape(h, w, ch)
+                rows.append((v, "image", encode_png_numpy(px)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload"]
+            )
+
+    media = emb.mapInPandas(
+        rig,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("media_type", T.StringType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    out = extract_decoded_features(media)
+    return out.select(
+        "media_id", "n_samples",
+        _r("sample_mean").alias("sample_mean"),
+        _r("sample_std").alias("sample_std"),
+        "width", "height", "channels",
+    )
+
+
 def q_polygon_edt(spark, sf_dir):
     """The reference's ARTERY COMPOSITE (points_to_features_art,
     extract_reference_features.py:432-503): rasterize → EDT → max
@@ -1308,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_watershed": q_polygon_watershed,  # new in r03 (2-D watershed)
         "polygon_holes": q_polygon_holes,  # new in r03 (fill_holes, oracled)
         "media_decode": q_media_decode,  # new in r03 (real codecs, oracled)
+        "media_decode_png": q_media_decode_png,  # new in r04 (stdlib PNG, oracled)
         "polygon_edt": q_polygon_edt,  # new in r03 (artery EDT composite, oracled)
         "fingerprint": q_fingerprint,  # impl changed in r03 (lambda-free agg) -> keep in window
         "lang_id": q_lang_id,  # impl changed in r03 (NULL->und fix) -> keep in window
@@ -1726,6 +1788,30 @@ SELECT vec_id AS media_id,
   CASE WHEN vec_id % 2 = 0 THEN 3 ELSE NULL END AS height,
   CASE WHEN vec_id % 2 = 0 THEN 3 ELSE 1 END AS channels
 FROM embeddings
+""",
+        # media_decode_png: analytic dual of the PNG decode path — the
+        # payload pixels are pure vec_id arithmetic, so the decoded
+        # stats must reproduce it after a REAL zlib-inflate + unfilter.
+        "media_decode_png": """
+WITH p AS (
+  SELECT vec_id, CASE WHEN vec_id % 3 = 0 THEN 24 ELSE 36 END AS n
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, n,
+    list_transform(generate_series(0, n - 1),
+                   j -> CAST((vec_id * 7 + j * 13) % 256 AS DOUBLE)) AS xs
+  FROM p
+)
+SELECT vec_id AS media_id,
+  CAST(n AS INT) AS n_samples,
+  round(list_aggregate(xs, 'avg'), 6) AS sample_mean,
+  round(sqrt(list_aggregate(list_transform(xs, x -> x * x), 'avg')
+             - pow(list_aggregate(xs, 'avg'), 2)), 6) AS sample_std,
+  CAST(CASE vec_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 3 END AS INT) AS width,
+  CAST(CASE vec_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 3 END AS INT) AS height,
+  CAST(CASE vec_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels
+FROM s
 """,
         # polygon_holes: analytic dual — axis-aligned integer rectangles
         # rasterize pixel-exactly, so the rasterize -> background-CC ->

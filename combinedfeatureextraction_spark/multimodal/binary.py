@@ -5,13 +5,16 @@ processed as numpy inside the worker (FeatureExtractor.py:290-316) — maps
 to opaque ``binary`` columns with typed metadata structs, processed in
 Arrow batches via ``mapInPandas``. The Spark-side plumbing here (schemas,
 batch shape, partition sizing) is real and tested. The codec layer
-(round 3) decodes UNCOMPRESSED formats natively in pure numpy — binary
-netpbm (P5/P6), RIFF/WAVE PCM (8/16-bit), uncompressed 24-bit BMP —
-dispatched by magic bytes and verified by round-trip tests plus the
-``media_decode`` analytic oracle. Compressed formats (JPEG/PNG/MP4/…)
-still raise NotImplementedError at the same seam: those genuinely need
-cv2/PIL/librosa, which are not in this container. ``decode=fake``
-remains for byte-domain tests.
+decodes natively with zero external deps: binary netpbm (P5/P6),
+RIFF/WAVE PCM (8/16-bit), uncompressed 24-bit BMP (round 3), and —
+round 4 — 8-bit PNG via stdlib zlib inflate + per-scanline unfilter
+(all five filter types, CRC-verified, cross-checked byte-identical
+against Java ImageIO in both directions). Dispatch is by magic bytes,
+verified by round-trip tests plus the ``media_decode`` /
+``media_decode_png`` analytic oracles. The remaining compressed
+formats (JPEG/FLAC/MP4/…) still raise NotImplementedError at the same
+seam: those genuinely need cv2/PIL/librosa, which are not in this
+container. ``decode=fake`` remains for byte-domain tests.
 
 Scale notes: binary payloads make rows wide — mapInPandas batches are
 bounded by spark.sql.execution.arrow.maxRecordsPerBatch, and the metadata
@@ -22,7 +25,7 @@ JVM-side for rows the filter drops).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -150,11 +153,164 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     return rgb.astype(np.float64).ravel(), w, abs(h), 3
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (8-bit only; type 3 = palette
+# unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear gradient a + b − c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Pure-stdlib PNG decoder (zlib inflate + per-scanline unfilter) —
+    the highest-frequency compressed image format in any real multimodal
+    corpus, decoded with ZERO new dependencies. Supports 8-bit
+    grayscale / gray+alpha / RGB / RGBA (color types 0/4/2/6), all five
+    scanline filters (None/Sub/Up/Average/Paeth), multi-IDAT streams,
+    and verifies every chunk CRC. Palette (type 3), 16-bit and Adam7
+    interlace raise NotImplementedError — the remaining compressed-codec
+    seam is JPEG/FLAC/MP4 (those genuinely need external codecs).
+    Returns (flat float64 samples row-major, width, height, channels).
+    Reference analog: the slide-payload decode path S2
+    (FeatureExtractor.py:300)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced gray/RGB/alpha PNG supported"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:  # None
+            rec = row
+        elif f == 2:  # Up — fully vectorized
+            rec = (row + prev) & 0xFF
+        elif f == 1:  # Sub — per-channel-lane running sum mod 256
+            rec = row.reshape(w, ch).cumsum(axis=0) & 0xFF
+            rec = rec.reshape(stride)
+        else:  # Average / Paeth — left-neighbor recurrence, per byte
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (row[x] + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    c = prev[x - ch] if x >= ch else 0
+                    rec[x] = (row[x] + _paeth(int(a), int(b), int(c))) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+        out[r] = rec
+        prev = rec
+    return out.astype(np.float64).ravel(), w, h, ch
+
+
+def encode_png_numpy(arr: np.ndarray, filters: Sequence[int] | None = None) -> bytes:
+    """Test-rig PNG ENCODER (pure stdlib zlib + forward filtering) used
+    by round-trip tests and the ``media_decode_png`` oracle fixture —
+    not a production path. ``arr``: uint8 (h, w) or (h, w, ch) with ch
+    in {1, 2, 3, 4}. ``filters``: per-scanline filter types; default
+    cycles 0..4 so every unfilter branch of :func:`decode_png` is
+    exercised."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch)
+    stride = w * ch
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = (filters[r % len(filters)] if filters else r % 5)
+        row = flat[r]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+            filt = (row - left) & 0xFF
+        elif f == 2:
+            filt = (row - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+            filt = (row - (left + prev) // 2) & 0xFF
+        else:
+            filt = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                pa = int(row[x - ch]) if x >= ch else 0
+                pb = int(prev[x])
+                pc = int(prev[x - ch]) if x >= ch else 0
+                filt[x] = (int(row[x]) - _paeth(pa, pb, pc)) & 0xFF
+        lines.append(f)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
-    """Real codec dispatch by magic bytes — pure numpy, no external
-    libraries: binary netpbm (P5/P6), RIFF/WAVE PCM, uncompressed 24-bit
-    BMP. Compressed formats (JPEG/PNG/MP4/...) still raise at this seam —
-    that part genuinely needs cv2/PIL/librosa."""
+    """Real codec dispatch by magic bytes — pure numpy/stdlib, no
+    external libraries: binary netpbm (P5/P6), RIFF/WAVE PCM,
+    uncompressed 24-bit BMP, and 8-bit PNG (zlib inflate + unfilter).
+    JPEG/FLAC/MP4 still raise at this seam — those genuinely need
+    cv2/PIL/librosa."""
     if not payload:
         return np.zeros(0)
     if payload[:2] in (b"P6", b"P5"):
@@ -163,9 +319,11 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
         return decode_wav(payload)[0]
     if payload[:2] == b"BM":
         return decode_bmp(payload)[0]
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)[0]
     raise NotImplementedError(
-        "compressed codec (JPEG/PNG/MP4/...) requires cv2/PIL/librosa — "
-        "uncompressed netpbm/WAV-PCM/BMP decode natively here"
+        "compressed codec (JPEG/FLAC/MP4/...) requires cv2/PIL/librosa — "
+        "netpbm/WAV-PCM/BMP/PNG decode natively here"
     )
 
 
@@ -247,6 +405,8 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                     arr, _, ch = decode_wav(payload)
                 elif payload[:2] == b"BM":
                     arr, w, h, ch = decode_bmp(payload)
+                elif payload[:8] == _PNG_SIG:
+                    arr, w, h, ch = decode_png(payload)
                 else:
                     arr = _decode_real(payload, mtype)  # raises: documented seam
                 rows.append(

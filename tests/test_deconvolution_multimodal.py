@@ -150,4 +150,138 @@ def test_decode_unknown_magic_raises():
     from combinedfeatureextraction_spark.multimodal.binary import _decode_real
 
     with _pytest.raises(NotImplementedError):
-        _decode_real(b"\x89PNG\r\n\x1a\n....", "image")
+        _decode_real(b"\xff\xd8\xff\xe0....JFIF", "image")  # JPEG: the seam
+
+
+def test_decode_png_roundtrip_all_filters_and_channels():
+    """encode -> decode is the identity for every color type and every
+    scanline filter (incl. the default cycling mix), so all five
+    unfilter branches are on the verified path."""
+    from combinedfeatureextraction_spark.multimodal.binary import (
+        decode_png,
+        encode_png_numpy,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for h, w in ((1, 1), (3, 5), (17, 9)):
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            for filters in (None, [0], [1], [2], [3], [4]):
+                arr, W, H, C = decode_png(encode_png_numpy(img, filters))
+                assert (W, H, C) == (w, h, ch)
+                assert (arr == img.astype(np.float64).ravel()).all(), (
+                    ch, h, w, filters,
+                )
+
+
+def test_decode_png_crc_and_multi_idat():
+    import zlib
+
+    import pytest as _pytest
+
+    from combinedfeatureextraction_spark.multimodal.binary import (
+        decode_png,
+        encode_png_numpy,
+    )
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    png = encode_png_numpy(img, [0])
+    # corrupt one byte inside the IHDR chunk -> CRC failure
+    broken = bytearray(png)
+    broken[20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(broken))
+    # split the IDAT chunk in two: decoders must concatenate streams
+    sig, pos, out = png[:8], 8, png[:8]
+    while pos + 8 <= len(png):
+        size = int.from_bytes(png[pos : pos + 4], "big")
+        ctype = png[pos + 4 : pos + 8]
+        body = png[pos + 8 : pos + 8 + size]
+        pos += 12 + size
+        parts = [(ctype, body)] if ctype != b"IDAT" else [
+            (b"IDAT", body[:7]), (b"IDAT", body[7:]),
+        ]
+        for ct, b in parts:
+            out += (
+                len(b).to_bytes(4, "big") + ct + b
+                + (zlib.crc32(ct + b) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+    arr, w, h, ch = decode_png(out)
+    assert (w, h, ch) == (4, 6, 3)
+    assert (arr == img.astype(np.float64).ravel()).all()
+
+
+def test_png_parity_vs_java_imageio(tmp_path):
+    """Independent spec-conformance check: our encoder's output decodes
+    byte-identically under Java ImageIO (present in this container), and
+    our decoder reproduces a PNG *written by* Java ImageIO — so the
+    codec isn't just self-consistent. Skipped when no JDK."""
+    import shutil
+    import subprocess
+
+    import pytest as _pytest
+
+    from combinedfeatureextraction_spark.multimodal.binary import (
+        decode_png,
+        encode_png_numpy,
+    )
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        _pytest.skip("no JDK in PATH")
+    (tmp_path / "PngDump.java").write_text(
+        "import javax.imageio.ImageIO;\n"
+        "import java.awt.image.*;\nimport java.io.File;\n"
+        "public class PngDump {\n"
+        "  public static void main(String[] a) throws Exception {\n"
+        "    BufferedImage i = ImageIO.read(new File(a[0]));\n"
+        "    Raster r = i.getRaster(); int nb = r.getNumBands();\n"
+        "    System.out.println(i.getWidth()+\" \"+i.getHeight()+\" \"+nb);\n"
+        "    for (int y=0;y<i.getHeight();y++) for (int x=0;x<i.getWidth();x++){\n"
+        "      StringBuilder s = new StringBuilder();\n"
+        "      for (int b=0;b<nb;b++){ if(b>0)s.append(' ');"
+        " s.append(r.getSample(x,y,b)); }\n"
+        "      System.out.println(s); } } }\n"
+    )
+    (tmp_path / "PngMake.java").write_text(
+        "import javax.imageio.ImageIO;\n"
+        "import java.awt.image.BufferedImage;\nimport java.io.File;\n"
+        "public class PngMake {\n"
+        "  public static void main(String[] a) throws Exception {\n"
+        "    int w=23,h=17;\n"
+        "    BufferedImage i = new BufferedImage(w,h,BufferedImage.TYPE_INT_RGB);\n"
+        "    for (int y=0;y<h;y++) for (int x=0;x<w;x++)\n"
+        "      i.setRGB(x,y,(((x*7+y*13)%256)<<16)|(((x*3+y*31)%256)<<8)"
+        "|((x*17+y*5)%256));\n"
+        "    ImageIO.write(i,\"png\",new File(a[0])); } }\n"
+    )
+    subprocess.run(
+        ["javac", "PngDump.java", "PngMake.java"], cwd=tmp_path, check=True
+    )
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+        (tmp_path / "t.png").write_bytes(encode_png_numpy(img))
+        out = subprocess.run(
+            ["java", "-cp", ".", "PngDump", "t.png"], cwd=tmp_path,
+            capture_output=True, text=True, check=True,
+        ).stdout.split("\n")
+        w, h, nb = map(int, out[0].split())
+        px = np.array(
+            [list(map(int, ln.split())) for ln in out[1 : 1 + w * h]]
+        ).reshape(h, w, nb)
+        assert (w, h, nb) == (7, 9, ch) and (px == img).all(), ch
+    subprocess.run(
+        ["java", "-cp", ".", "PngMake", "jm.png"], cwd=tmp_path, check=True
+    )
+    arr, w, h, ch = decode_png((tmp_path / "jm.png").read_bytes())
+    assert (w, h, ch) == (23, 17, 3)
+    exp = np.array(
+        [
+            [[(x * 7 + y * 13) % 256, (x * 3 + y * 31) % 256, (x * 17 + y * 5) % 256]
+             for x in range(23)]
+            for y in range(17)
+        ],
+        dtype=np.float64,
+    )
+    assert (arr.reshape(17, 23, 3) == exp).all()
