@@ -354,15 +354,21 @@ def q_simhash_dedup(spark, sf_dir):
     """128-bit SimHash near-dup pairs, FULLY ORACLED. Two properties make
     exact DuckDB verification possible: (1) hasher="md5" — md5 is
     bit-identical in every engine, so DuckDB recomputes the identical
-    signatures from the same 2-gram shingles (nibble k bit b ↦ hash bit
-    4k+b, the documented portability contract; production default stays
-    xxhash64, same downstream machinery byte-for-byte); (2)
-    max_hamming=3 with 4×32-bit bands — by pigeonhole a hamming ≤ 3
+    signatures from the same 2-gram shingles (nibble k bit b ↦ global
+    bit (k//8)·32 + (7−k%8)·4 + b — 8-char big-endian hex groups, see
+    _md5_word_expr — the documented portability contract; production
+    default stays xxhash64, same downstream machinery byte-for-byte);
+    (2) max_hamming=3 with 4×32-bit bands — by pigeonhole a hamming ≤ 3
     pair ALWAYS shares a band, so LSH recall is complete and the output
     is exactly {pairs with hamming ≤ 3}, which DuckDB enumerates
-    quadratically. Mutated twins (last word dropped → hamming ≈ 0)
-    planted for the 10% of docs with doc_id % 10 == 0 guarantee a
-    non-trivial matched set at ~1.1× corpus cost."""
+    quadratically. max_bucket=None makes that exactness UNCONDITIONAL:
+    the capped default emits only star edges inside an oversized
+    same-signature bucket (connectivity-preserving but a strict pair
+    subset), which would silently diverge from the quadratic oracle if
+    a corpus change ever oversized a bucket. Mutated twins (last word
+    dropped → hamming ≈ 0) planted for the 10% of docs with
+    doc_id % 10 == 0 guarantee a non-trivial matched set at ~1.1×
+    corpus cost."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -370,7 +376,8 @@ def q_simhash_dedup(spark, sf_dir):
     )
     corpus = docs.unionByName(mutated)
     out = simhash_dedup(
-        corpus, "doc_id", "text", max_hamming=3, ngram=2, hasher="md5"
+        corpus, "doc_id", "text", max_hamming=3, ngram=2, hasher="md5",
+        max_bucket=None,
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -2077,10 +2084,17 @@ SELECT c.doc_id AS doc_id,
 FROM corpus c LEFT JOIN cc ON c.doc_id = cc.id
 """,
         # simhash_dedup: exact dual. hasher="md5" makes the signatures
-        # engine-portable (nibble k bit b -> hash bit 4k+b) and
-        # max_hamming=3 with 4x32-bit bands makes LSH recall COMPLETE by
-        # pigeonhole, so the Spark output is exactly the quadratic
-        # hamming<=3 enumeration below.
+        # engine-portable (nibble k bit b -> global bit
+        # (k//8)*32 + (7 - k%8)*4 + b, 8-char big-endian hex groups —
+        # see _md5_word_expr and the bits CTE below) and max_hamming=3
+        # with 4x32-bit bands makes LSH recall COMPLETE by pigeonhole,
+        # so the Spark output is exactly the quadratic hamming<=3
+        # enumeration below. The query passes max_bucket=None: the
+        # capped path's star-edge reduction inside an oversized
+        # same-signature bucket would emit a strict pair SUBSET and
+        # break this quadratic dual (harmless today — sf buckets never
+        # oversize — but the uncapped call makes exactness
+        # unconditional).
         "simhash_dedup": """
 WITH corpus AS MATERIALIZED (
   SELECT doc_id, text FROM documents

@@ -66,6 +66,18 @@ def asof_join(
     Output: all probe columns + one column per entry of ``values`` (NULL
     when no build row qualifies). ``tolerance_seconds`` additionally nulls
     matches older than the tolerance (pd.merge_asof semantics).
+
+    STATIC-BUILD CONTRACT (``grid`` / ``broadcast`` strategies): both
+    dim-side plans snapshot build statistics eagerly at plan
+    construction (grid: the whole dim via toPandas; broadcast: the max
+    history depth) while the build plan itself re-evaluates at
+    execution. The build source must therefore not gain rows between
+    constructing and executing the join. Violations fail loudly, never
+    silently: the grid re-validates the pulled row count against its
+    cap (falling back to the shuffle plan), and the broadcast search
+    raises at execution when the snapshot depth proves too shallow.
+    ``union`` and ``cogroup`` take no snapshot and carry no such
+    assumption.
     """
     keys = list(keys)
     values = list(values) if values else [
@@ -177,6 +189,17 @@ def _asof_grid(
         .toPandas()
         .sort_values("_ts", kind="mergesort")
     )
+    # re-validate AFTER the pull: the guard verdict is cached per build
+    # DataFrame object, but a DataFrame re-reads its source per action —
+    # a dim table whose backing files were appended since the cached
+    # verdict would otherwise ride a stale under-cap answer into the
+    # driver-memory path the guard exists to protect.
+    if len(pdf) > _GRID_MAX_BUILD:
+        _GRID_GUARD_CACHE.pop(build, None)
+        return fallback(
+            f"build grew to {len(pdf)} rows (> {_GRID_MAX_BUILD}) after a "
+            "stale cached size verdict"
+        )
     if pdf.empty:
         out = probe
         for v in values:
@@ -409,7 +432,25 @@ def _asof_broadcast(
             .drop("_lo", "_hi")
             .withColumnsRenamed({f"_lo{i}": "_lo", f"_hi{i}": "_hi"})
         )
+    # convergence clamp: the search depth comes from an EAGER .first()
+    # over the build at plan-construction time, but the broadcast rollup
+    # re-evaluates at execution — if the build source gained rows in
+    # between (static-build contract violated), the unrolled search could
+    # stop with _hi > _lo and silently return a too-early match. Fail
+    # loudly instead: the guard lives INSIDE the match expression (a
+    # standalone guard column would be pruned, see the barrier note
+    # below) and costs one comparison per row.
     match = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.raise_error(
+            F.lit(
+                "_asof_broadcast: search depth exhausted before "
+                "convergence — the build side grew between plan "
+                "construction and execution (the build must be static; "
+                "see asof_join docstring)"
+            )
+        ),
+    ).when(
         F.col("_lo") >= 1,
         F.try_element_at(F.col("_hist"), F.greatest(F.col("_lo"), F.lit(1))),
     )

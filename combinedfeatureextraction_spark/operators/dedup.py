@@ -67,6 +67,40 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+# exact-tier ceiling: largest block a quadratic pair generator will
+# accept (100k rows -> ~5e9 pair evaluations, the edge of sane). The
+# guard-with-fallback pattern mirrors _GRID_MAX_BUILD in operators.asof.
+EXACT_TIER_MAX_BLOCK = 100_000
+
+
+def _guard_exact_block(
+    narrow: DataFrame, block_col: str | None, cap: int | None, op: str, alt: str
+) -> None:
+    """Refuse a quadratic exact tier whose largest block exceeds ``cap``
+    rows — an unblocked large table would otherwise run an honest O(n²)
+    self-join. One cheap count job (per-block max when blocked); pass
+    ``max_block=None`` to force."""
+    if cap is None:
+        return
+    if block_col:
+        top = (
+            narrow.groupBy(block_col)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+    else:
+        top = narrow.limit(cap + 1).count()
+    if top and top > cap:
+        where = f"block ('{block_col}')" if block_col else "input (unblocked)"
+        raise ValueError(
+            f"{op}: largest {where} has {'>' if not block_col else ''}"
+            f"{top} rows > max_block={cap}; the exact tier is O(n²) per "
+            f"block. Split the input with block_col, use {alt} (the "
+            f"corpus-scale path), or pass max_block=None to force."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -74,11 +108,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    max_block: int | None = EXACT_TIER_MAX_BLOCK,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold. Exact but quadratic per block —
     ``block_col`` (e.g. source / length bucket) bounds the self-join; use
-    minhash_lsh_dedup for corpus scale. Output: (id_a, id_b, jaccard_sim),
-    id_a < id_b."""
+    minhash_lsh_dedup for corpus scale. A block larger than ``max_block``
+    rows raises (see _guard_exact_block) rather than silently running an
+    O(n²) join. Output: (id_a, id_b, jaccard_sim), id_a < id_b."""
     # shingling runs once (checkpoint), and the checkpoint is spread over
     # the full partition budget FIRST — a single-file scan would otherwise
     # checkpoint as ONE partition and serialize the quadratic pair work
@@ -91,6 +127,9 @@ def ngram_jaccard_pairs(
         )
         .repartition(n_part)
         .localCheckpoint(eager=False)
+    )
+    _guard_exact_block(
+        sh, block_col, max_block, "ngram_jaccard_pairs", "minhash_lsh_dedup"
     )
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"),
@@ -571,9 +610,16 @@ def simhash_dedup(
     bucket, see simhash_candidates; probabilistic above hamming 3 —
     raise coverage with more/rotated chunk tables if a looser threshold
     is required) verified with exact hamming. At ``max_hamming ≤ 3`` the
-    output is therefore EXACTLY the set of hamming ≤ max_hamming pairs
-    (pigeonhole recall is complete), which is what makes the md5-hasher
-    variant externally oracle-able. Output: (id_a, id_b, hamming)."""
+    output is EXACTLY the set of hamming ≤ max_hamming pairs (pigeonhole
+    recall is complete) — CONDITIONAL on no band bucket exceeding
+    ``max_bucket`` distinct members: inside a capped mega-bucket,
+    identical-signature members emit only star edges to one
+    representative (N clones → N−1 pairs, not C(N,2)) and cross-
+    signature pairs are rerouted through the representative, so the
+    emitted pair set is a connectivity-preserving strict SUBSET. Pass
+    ``max_bucket=None`` when pair-level exactness is required (the
+    externally-oracled md5 registry query does). Output:
+    (id_a, id_b, hamming)."""
     sigs = simhash_signatures(df, id_col, text_col, ngram, hasher=hasher)
     cands = simhash_candidates(sigs, max_bucket)
     return cands.select(
@@ -633,9 +679,12 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    max_block: int | None = EXACT_TIER_MAX_BLOCK,
 ) -> DataFrame:
     """Cosine ≥ threshold pairs (id_a, id_b, cos_sim). Exact within a block;
-    LSH-bucketed variant in operators.similarity for corpus scale."""
+    LSH-bucketed variant in operators.similarity for corpus scale. A block
+    larger than ``max_block`` rows raises (see _guard_exact_block) rather
+    than silently running an O(n²) join."""
     from combinedfeatureextraction_spark.functions.arrays import cosine
 
     cols = [F.col(id_col), F.col(vec_col)] + (
@@ -646,6 +695,10 @@ def embedding_near_dup_pairs(
     # thus ALL pair evaluation) on one task
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     v = df.select(*cols).repartition(n_part)
+    _guard_exact_block(
+        v, block_col, max_block, "embedding_near_dup_pairs",
+        "similarity.lsh_topk / similarity.ivf_topk",
+    )
     a = v.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
         *([F.col(block_col).alias("_blk")] if block_col else []),

@@ -27,6 +27,12 @@ from pyspark.sql.functions import pandas_udf
 from combinedfeatureextraction_spark.functions.arrays import cosine, cosine_fixed
 
 
+def _bc(df: DataFrame, broadcast: bool) -> DataFrame:
+    """Explicit broadcast hint under the small-query contract; identity
+    (shuffle equi-join, AQE-planned) on the large-query fallback path."""
+    return F.broadcast(df) if broadcast else df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -177,6 +183,7 @@ def ivf_topk(
     seed: int = 42,
     train_sample: int = 10_000,
     kmeans_iters: int = 5,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k — the inverted-file scale path beside LSH:
     a coarse kmeans quantizer (trained driver-side on a bounded sample)
@@ -186,7 +193,16 @@ def ivf_topk(
     Plan shape mirrors lsh_topk: corpus scanned twice, shuffled never
     (assignment via mapInArrow matmul emitting (id, lists); candidate
     vectors fetched by broadcast semi-join); recall is tuned by
-    (n_lists, nprobe), exactness recovered as nprobe→n_lists."""
+    (n_lists, nprobe), exactness recovered as nprobe→n_lists.
+
+    ``broadcast_queries`` is the SMALL-QUERY-SET contract made explicit:
+    the default broadcasts the query buckets, pairs and vectors (all
+    bounded by n_queries × nprobe × list size). When the probe set is
+    too large to broadcast, pass False: every join becomes a shuffle
+    equi-join (AQE-planned) — the assignment maps still emit only
+    (id, list) tuples, and the only corpus-payload exchange is the
+    candidate-subset fetch, which is unavoidable once neither side
+    fits a broadcast. Identical results either way (pytest-pinned)."""
     # bounded driver-side training sample: limit() takes the first rows in
     # scan order — deterministic for a fixed file layout (FAISS-style
     # train-on-head); centroids only steer recall, never correctness (the
@@ -211,18 +227,18 @@ def ivf_topk(
     cb = assign(corpus, id_col, 1)  # corpus rows live in ONE list
     qb = assign(queries, query_id_col, nprobe)
     pairs = (
-        cb.join(F.broadcast(qb), "_list")
+        cb.join(_bc(qb, broadcast_queries), "_list")
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
     cand_ids = pairs.select(id_col).distinct()
     cand_vecs = corpus.select(id_col, vec_col).join(
-        F.broadcast(cand_ids), id_col, "left_semi"
+        _bc(cand_ids, broadcast_queries), id_col, "left_semi"
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     scored = (
-        cand_vecs.join(F.broadcast(pairs), id_col)
-        .join(F.broadcast(q), query_id_col)
+        cand_vecs.join(_bc(pairs, broadcast_queries), id_col)
+        .join(_bc(q, broadcast_queries), query_id_col)
         .withColumn("cos_sim", cosine_fixed(vec_col, "_qvec", dim))
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -246,6 +262,7 @@ def lsh_topk(
     tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query in
     any table; exact cosine re-rank among candidates. Same output schema
@@ -256,7 +273,15 @@ def lsh_topk(
     (id, buckets), once to fetch the (few) candidate vectors via a
     BROADCAST semi-join on the candidate-id set. Every join is broadcast;
     the only exchanges carry candidate-sized data (ids, pairs, the final
-    re-rank window)."""
+    re-rank window).
+
+    ``broadcast_queries=False`` is the LARGE-probe-set fallback: when
+    the query side (and so the pair/candidate sets) outgrows a
+    broadcast, every join becomes a shuffle equi-join (AQE-planned) —
+    bucket tuples shuffle by (_tbl, _bkt), and the only corpus-payload
+    exchange is the candidate-subset fetch, unavoidable once neither
+    join side fits a broadcast. Identical results either way
+    (pytest-pinned)."""
     planes = _hyperplanes(dim, bits, tables, seed)
 
     def bucketize(df: DataFrame, idc: str) -> DataFrame:
@@ -276,19 +301,19 @@ def lsh_topk(
     cb = bucketize(corpus, id_col)
     qb = bucketize(queries, query_id_col)
     pairs = (
-        cb.join(F.broadcast(qb), ["_tbl", "_bkt"])
+        cb.join(_bc(qb, broadcast_queries), ["_tbl", "_bkt"])
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
     # candidate vectors: broadcast semi-join — corpus scan #2, no shuffle
     cand_ids = pairs.select(id_col).distinct()
     cand_vecs = corpus.select(id_col, vec_col).join(
-        F.broadcast(cand_ids), id_col, "left_semi"
+        _bc(cand_ids, broadcast_queries), id_col, "left_semi"
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     scored = (
-        cand_vecs.join(F.broadcast(pairs), id_col)
-        .join(F.broadcast(q), query_id_col)
+        cand_vecs.join(_bc(pairs, broadcast_queries), id_col)
+        .join(_bc(q, broadcast_queries), query_id_col)
         .withColumn("cos_sim", cosine_fixed(vec_col, "_qvec", dim))
     )
     w = Window.partitionBy(query_id_col).orderBy(

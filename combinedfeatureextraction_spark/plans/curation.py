@@ -79,6 +79,11 @@ def curate_corpus(
         exact.join(clusters, id_col)
         .filter(F.col("canonical_id") == F.col(id_col))
         .drop("canonical_id")
+        # winners fans out twice below (join left side + fingerprint_agg
+        # input): without a checkpoint the exact-dedup window and the
+        # cluster join would execute twice per action — same lazy-
+        # localCheckpoint pattern as _banded_candidates' band rows.
+        .localCheckpoint(eager=False)
     )
     curated = winners.join(
         X.fingerprint_agg(winners, id_col, text_col), id_col

@@ -607,3 +607,93 @@ def test_simhash_planted_exact_dups_on_driver_corpus(spark):
     assert want <= got
     ham = {r["hamming"] for r in out.collect()}
     assert max(ham) <= 3
+
+
+def test_exact_tier_guard_trips_on_oversized_block(spark):
+    """r03-verdict item 7: the quadratic exact tiers refuse an input
+    whose largest block exceeds max_block — unblocked and per-block —
+    with the error pointing at the corpus-scale alternative; the cap is
+    user-loosenable (None) and the guard passes under-cap inputs."""
+    import pytest as _pytest
+
+    from combinedfeatureextraction_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", i % 2) for i in range(12)],
+        "doc_id long, text string, blk int",
+    )
+    with _pytest.raises(ValueError, match="minhash_lsh_dedup"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", max_block=8).count()
+    with _pytest.raises(ValueError, match="O\\(n²\\)"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", block_col="blk", max_block=5
+        ).count()
+    # under-cap passes (each block has 6 rows <= 6)
+    ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="blk", max_block=6
+    ).count()
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(9)],
+        "vec_id long, embedding array<double>, blk int",
+    )
+    with _pytest.raises(ValueError, match="lsh_topk"):
+        embedding_near_dup_pairs(vecs, "vec_id", "embedding", max_block=8).count()
+    # cap disabled -> runs
+    embedding_near_dup_pairs(
+        vecs, "vec_id", "embedding", max_block=None
+    ).count()
+
+
+def test_ann_large_query_fallback_matches_broadcast(spark):
+    """r03-verdict item 8: broadcast_queries=False must produce
+    identical results through shuffle equi-joins (the large-probe-set
+    path), and with the auto-broadcast threshold disabled its physical
+    plan must contain no broadcast join at all (proving no explicit
+    broadcast hint survives), while the default path keeps its
+    broadcast hints regardless of the threshold."""
+    from combinedfeatureextraction_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = ["query_id", "rank"]
+    cols = ["query_id", "vec_id", "rank"]
+    for op in (
+        lambda bq: lsh_topk(
+            df, q, "vec_id", "embedding", k=3, bits=4, tables=2, dim=16,
+            broadcast_queries=bq,
+        ),
+        lambda bq: ivf_topk(
+            df, q, "vec_id", "embedding", k=3, n_lists=8, nprobe=3, dim=16,
+            broadcast_queries=bq,
+        ),
+    ):
+        a = op(True).toPandas().sort_values(key)[cols].values.tolist()
+        b = op(False).toPandas().sort_values(key)[cols].values.tolist()
+        assert a == b
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fb = lsh_topk(
+            df, q, "vec_id", "embedding", k=3, bits=4, tables=2, dim=16,
+            broadcast_queries=False,
+        )
+        plan_fb = fb._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_fb
+        bc = lsh_topk(
+            df, q, "vec_id", "embedding", k=3, bits=4, tables=2, dim=16,
+        )
+        plan_bc = bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_bc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
