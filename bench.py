@@ -1,9 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (r03-verdict item 6: the full record grew
+past the driver's stdout capture buffer, leaving BENCH_r0{2,3}.json with
+"parsed": null — per-query warm times + totals + the headline scaling
+efficiencies stay on stdout, everything else goes to
+.fixtures/bench_full.json):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., ...extras}
+   "queries": {name: sec, ...}, "sf": ..., "scaling": {...summary}}
 
 Each query is materialized with a noop write (full execution, no driver
 collect). The flagship feature-materialization throughput (rows/sec over
@@ -47,7 +51,7 @@ def main() -> None:
         "percent_rank", "topk",
         "glcm_stats", "component_stats", "watershed_split",
         "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
-        "media_decode", "polygon_edt",
+        "media_decode", "media_decode_png", "polygon_edt",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
@@ -89,55 +93,69 @@ def main() -> None:
     _r02_common = [
         q for q in headline
         if q not in ("polygon_components", "polygon_watershed",
-                     "polygon_holes", "media_decode", "polygon_edt", "simhash_dedup")
+                     "polygon_holes", "media_decode", "media_decode_png",
+                     "polygon_edt", "simhash_dedup")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    fixtures_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".fixtures"
+    )
+    os.makedirs(fixtures_dir, exist_ok=True)
+    full_path = os.path.join(fixtures_dir, "bench_full.json")
+    # compact stdout record — MUST stay under the driver's capture buffer
     out = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_cold": timings_cold,
         "common_with_r02_sec": common_r02,
-        "timing": "best-of-2 (queries) + first-run (queries_cold)",
         "sf": float(sf),
         "cpus": CPUS,
-        "flagship_rows": n_rows,
         "flagship_rows_per_sec": round(n_rows / flagship_sec, 1),
+        "full_record": "see .fixtures/bench_full.json",
     }
-    # merge the latest N-vs-4N scaling evidence (scripts/scaling_run.py)
-    scaling_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".fixtures",
-        "scaling_result.json",
+    full = dict(
+        out,
+        queries_cold=timings_cold,
+        timing="best-of-2 (queries) + first-run (queries_cold)",
+        flagship_rows=n_rows,
     )
+    # merge the latest N-vs-4N scaling evidence (scripts/scaling_run.py):
+    # headline efficiencies on stdout, full detail in the fixture record
+    scaling_file = os.path.join(fixtures_dir, "scaling_result.json")
     if os.path.exists(scaling_file):
         with open(scaling_file) as f:
             sc = json.load(f)
         out["scaling"] = {
+            "speedup_8_to_32": sc["speedup_8_to_32"],
+            "efficiency_N_to_4N": sc["scaling_efficiency_NtoN4"],
+            "core_efficiency_N_to_4N": sc.get("core_scaling_efficiency_NtoN4"),
+            "decode_floor_efficiency": sc.get("decode_scaling_efficiency_NtoN4"),
+        }
+        full["scaling"] = {
             "rows": sc["rows"],
             "local8_rows_per_sec": sc["local8"]["rows_per_sec"],
             "local32_rows_per_sec": sc["local32"]["rows_per_sec"],
-            "speedup_8_to_32": sc["speedup_8_to_32"],
-            "efficiency_N_to_4N": sc["scaling_efficiency_NtoN4"],
+            **out["scaling"],
         }
         for k in (
             "core_speedup_8_to_32",
-            "core_scaling_efficiency_NtoN4",
-            "decode_scaling_efficiency_NtoN4",
             "expected_full_efficiency_from_decomposition",
             "lsh_topk_speedup_8_to_32",
             "lsh_topk_scaling_efficiency_NtoN4",
             "text_speedup_8_to_32",
             "text_scaling_efficiency_NtoN4",
+            "load_gate",
             "methodology_note",
             "best_window_reference_r02",
         ):
             if k in sc:
-                out["scaling"][k] = sc[k]
+                full["scaling"][k] = sc[k]
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
     print(json.dumps(out))
 
 
