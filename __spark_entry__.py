@@ -411,16 +411,30 @@ def q_lsh_topk(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """ANN scale path #2: IVF (coarse kmeans quantizer + nprobe lists +
-    exact re-rank). Rows-only by design: kmeans assignment is iterative /
-    data-dependent, not one ANSI statement; recall vs brute force is
-    asserted in tests/test_operators_unit.py."""
+    exact re-rank). FULLY ORACLED (round-4) at nprobe = n_lists: full
+    probing makes the result EXACT top-k regardless of where kmeans
+    placed the centroids (every list is probed, every vector is a
+    candidate, the re-rank is exact cosine) — so the whole Spark-side
+    IVF machinery (mapInArrow assignment, list explode, candidate
+    joins, dedup, re-rank window) is driver-gated against the brute-
+    force SQL dual; a dropped candidate or join/dedup bug breaks the
+    hash. The APPROXIMATE regime (partial probing, recall vs brute
+    force, exactness-at-full-probe) stays pinned by
+    tests/test_operators_unit.py::test_ivf_topk_recall — partial-probe
+    candidate sets depend on the driver-side kmeans, which no ANSI
+    statement reproduces."""
     from combinedfeatureextraction_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4)
+    out = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=16
+    )
+    return out.select(
+        "query_id", "vec_id", _r("cos_sim").alias("cos_sim"), "rank"
+    )
 
 
 def q_payload_passthrough(spark, sf_dir):
@@ -549,8 +563,13 @@ def q_streaming_sessions(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents' text bytes as opaque binary payload
-    → mapInPandas decode(stub)+featurize (rows-only check: decode libs are
-    stubbed deterministically)."""
+    → mapInPandas decode(fake)+featurize. FULLY ORACLED (round-4): the
+    fake decoder interprets payload bytes as uint8 samples, and the
+    documents corpus is pure ASCII (oracle-probed), so DuckDB recomputes
+    the byte-domain stats from per-character codepoints — the Arrow
+    binary round-trip, batch shape and stat math are all on the gated
+    path. (The REAL codecs are gated separately by media_decode /
+    media_decode_png.)"""
     from combinedfeatureextraction_spark.multimodal.binary import (
         extract_media_features,
     )
@@ -1366,67 +1385,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          repo's identical harness (tests/run_oracle_compare.py, run over
          ALL registered queries in CI/pytest)."""
     return {
-        # -- round-2 additions, first driver check this round ------------
-        "glcm_stats": q_glcm_stats,
-        "component_stats": q_component_stats,
-        "watershed_split": q_watershed_split,
-        "deconvolution": q_deconvolution,
-        "polygon_features": q_polygon_features,
-        "polygon_components": q_polygon_components,  # new in r03
-        "polygon_watershed": q_polygon_watershed,  # new in r03 (2-D watershed)
-        "polygon_holes": q_polygon_holes,  # new in r03 (fill_holes, oracled)
-        "media_decode": q_media_decode,  # new in r03 (real codecs, oracled)
-        "media_decode_png": q_media_decode_png,  # new in r04 (stdlib PNG, oracled)
-        "polygon_edt": q_polygon_edt,  # new in r03 (artery EDT composite, oracled)
-        "fingerprint": q_fingerprint,  # impl changed in r03 (lambda-free agg) -> keep in window
-        "lang_id": q_lang_id,  # impl changed in r03 (NULL->und fix) -> keep in window
-        "ivf_topk": q_ivf_topk,
-        "streaming_asof": q_streaming_asof,
-        "streaming_dedup": q_streaming_dedup,
-        "corpus_curation": q_corpus_curation,
-        "asof_strict": q_asof_strict,
-        "asof_join_grid": q_asof_join_grid,
-        "zscore": q_zscore,
-        "ntile": q_ntile,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_filter": q_corpus_filter,
-        "top_words": q_top_words,
-        "normalize_embedding": q_normalize_embedding,
-        "approx_stats": q_approx_stats,
-        # -- LSH family: oracle upgraded this round -----------------------
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "lsh_topk": q_lsh_topk,
-        # -- proven core (r02 driver-green), representative per family ---
-        "rolling_window": q_rolling_window,
-        "lag_lead": q_lag_lead,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
-        "forward_fill": q_forward_fill,
-        "dist_to_boundary": q_dist_to_boundary,
-        "asof_join": q_asof_join,
-        "asof_join_cogroup": q_asof_join_cogroup,
-        "six_stat": q_six_stat,
-        "six_stat_hierarchy": q_six_stat_hierarchy,
-        "weighted_mean": q_weighted_mean,
-        "masked_mean": q_masked_mean,
-        "global_threshold": q_global_threshold,
-        "percent_rank": q_percent_rank,
-        "topk": q_topk,
-        "last_event": q_last_event,
-        "dim_join": q_dim_join,
-        "interval_join": q_interval_join,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
+        # -- r04: changed impl / new oracle / new query — gate first -----
+        "watershed_split": q_watershed_split,  # oracle NEW (SQL peak/valley dual)
+        "polygon_components": q_polygon_components,  # fixture+oracle NEW (two-rect)
+        "polygon_watershed": q_polygon_watershed,  # oracle NEW (symmetric-split closed form)
+        "media_decode_png": q_media_decode_png,  # NEW in r04 (stdlib PNG codec)
+        "ivf_topk": q_ivf_topk,  # full-probe exact + oracle NEW
+        "media_features": q_media_features,  # oracle NEW (byte-domain dual)
+        "simhash_dedup": q_simhash_dedup,  # query changed (max_bucket=None)
+        "ngram_jaccard": q_ngram_jaccard,  # impl changed (exact-tier guard)
+        "embedding_near_dup": q_embedding_near_dup,  # impl changed (guard)
+        "corpus_curation": q_corpus_curation,  # impl changed (winners checkpoint)
+        "asof_join_grid": q_asof_join_grid,  # impl changed (post-pull revalidation)
+        "streaming_asof": q_streaming_asof,  # grid path shared with the above
+        "lsh_topk": q_lsh_topk,  # impl changed (broadcast_queries param)
+        "media_decode": q_media_decode,  # codec module touched (PNG dispatch)
+        # -- r02-dated rows rotated back in (driver row ages to 2 rounds) -
         "payload_passthrough": q_payload_passthrough,
         "payload_sum": q_payload_sum,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
-        # ---- position 51+ : rotated out of the driver window -----------
-        # (every one below has a driver-green row in CORRECTNESS_r02.json
-        # and remains in the repo harness / pytest gate)
         "asof_tolerance": q_asof_tolerance,
         "asof_join_salted": q_asof_join_salted,
         "component_count": q_component_count,
@@ -1434,7 +1412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebase": q_rebase,
         "otsu": q_otsu,
         "streaming_sessions": q_streaming_sessions,
-        "media_features": q_media_features,
         "ratio_of_aggregates": q_ratio_of_aggregates,
         "feature_long_format": q_feature_long_format,
         "geodesic_flood": q_geodesic_flood,
@@ -1446,6 +1423,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "value_histogram": q_value_histogram,
         "distinct_users": q_distinct_users,
+        # -- proven core (r03 driver-green), representative per family ---
+        "rolling_window": q_rolling_window,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "six_stat": q_six_stat,
+        "glcm_stats": q_glcm_stats,
+        "component_stats": q_component_stats,
+        "polygon_features": q_polygon_features,
+        "polygon_holes": q_polygon_holes,
+        "polygon_edt": q_polygon_edt,
+        "deconvolution": q_deconvolution,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "embedding_topk": q_embedding_topk,
+        "dedup_clusters": q_dedup_clusters,
+        # ---- position 51+ : rotated out of the r04 driver window -------
+        # (every one below has a driver-green row in CORRECTNESS_r03.json
+        # and remains in the repo harness / pytest gate)
+        "lag_lead": q_lag_lead,
+        "session_stats": q_session_stats,
+        "forward_fill": q_forward_fill,
+        "dist_to_boundary": q_dist_to_boundary,
+        "asof_join_cogroup": q_asof_join_cogroup,
+        "six_stat_hierarchy": q_six_stat_hierarchy,
+        "weighted_mean": q_weighted_mean,
+        "masked_mean": q_masked_mean,
+        "global_threshold": q_global_threshold,
+        "percent_rank": q_percent_rank,
+        "topk": q_topk,
+        "last_event": q_last_event,
+        "dim_join": q_dim_join,
+        "interval_join": q_interval_join,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "streaming_dedup": q_streaming_dedup,
+        "zscore": q_zscore,
+        "ntile": q_ntile,
+        "corpus_filter": q_corpus_filter,
+        "top_words": q_top_words,
+        "normalize_embedding": q_normalize_embedding,
+        "approx_stats": q_approx_stats,
+        "asof_strict": q_asof_strict,
     }
 
 
@@ -2158,6 +2177,46 @@ SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
                                ORDER BY cs DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+        # ivf_topk: at nprobe = n_lists the IVF result is EXACT top-k by
+        # construction (every list probed -> every vector a candidate ->
+        # exact cosine re-rank), so the dual is brute force — identical
+        # SQL shape to embedding_topk, gating a completely different
+        # Spark plan (mapInArrow assignment + explode + joins + dedup).
+        "ivf_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(list_zip(e.embedding, q.qe),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    AS cs
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        # media_features: byte-domain dual — the fake decoder reads
+        # payload bytes as uint8 samples and the documents corpus is
+        # pure ASCII, so codepoints == bytes and DuckDB recomputes the
+        # stats per character.
+        "media_features": """
+WITH b AS (
+  SELECT doc_id AS media_id,
+    list_transform(generate_series(1, length(text)),
+                   i -> CAST(ord(substr(text, i, 1)) AS DOUBLE)) AS xs
+  FROM documents
+)
+SELECT media_id,
+  CAST(len(xs) AS INT) AS byte_len,
+  round(list_aggregate(xs, 'avg'), 6) AS byte_mean,
+  round(sqrt(list_aggregate(list_transform(xs, x -> x * x), 'avg')
+             - pow(list_aggregate(xs, 'avg'), 2)), 6) AS byte_std
+FROM b
 """,
         "embedding_near_dup": """
 WITH v AS (SELECT vec_id, label, embedding FROM embeddings)

@@ -496,6 +496,44 @@ def reconstruct_2d_numpy(
     return keep[labels]
 
 
+def reconstruct_grayscale_numpy(
+    marker: np.ndarray, mask: np.ndarray, connectivity: int = 8
+) -> np.ndarray:
+    """GRAYSCALE morphological reconstruction by dilation: the fixpoint
+    of ``marker = min(dilate1(marker), mask)`` — the full contract of
+    the reference's ``imreconstruct`` (extract_ffpe_features.py:6-22,
+    iterated cv2.dilate + cv2.min), which is written grayscale even
+    though every reference call site passes binary masks
+    (process_mc_features.py:95). Each iteration is one vectorized
+    numpy unit dilation (shifted maxima) + clip; iteration count is
+    bounded by the longest geodesic propagation path, the same bound
+    the reference's loop has. Binary inputs reduce exactly to
+    :func:`reconstruct_2d_numpy` (pytest-pinned), which stays the fast
+    closed-form path for the binary call sites. Payload-local in-UDF
+    work on bbox-cropped masks — arrays never become Spark types."""
+    J = np.minimum(np.asarray(marker, dtype=np.float64),
+                   np.asarray(mask, dtype=np.float64))
+    I = np.asarray(mask, dtype=np.float64)
+    h, w = J.shape
+    if h == 0 or w == 0:
+        return J
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 8:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    while True:
+        d = J.copy()
+        for dr, dc in offs:
+            src = J[
+                max(0, -dr) : h - max(0, dr), max(0, -dc) : w - max(0, dc)
+            ]
+            tgt = d[max(0, dr) : h + min(0, dr), max(0, dc) : w + min(0, dc)]
+            np.maximum(tgt, src, out=tgt)
+        np.minimum(d, I, out=d)
+        if np.array_equal(d, J):
+            return d
+        J = d
+
+
 def fill_holes_numpy(
     mask: np.ndarray, connectivity: int = 4
 ) -> tuple[np.ndarray, int, int]:

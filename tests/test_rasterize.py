@@ -485,3 +485,73 @@ def test_component_fixture_closed_form():
         assert (area, n, largest) == ((2 * w + 2) * h, 2, w2 * h), v
         assert abs(cx - (x1 + w2 / 2)) < 1e-9 and abs(cy - (y0 + h / 2)) < 1e-9
         assert abs(ratio - w2 * h / ((2 * w + 2) * h)) < 1e-12
+
+
+def test_reconstruct_grayscale_vs_widest_path_oracle():
+    """Grayscale reconstruction parity against an INDEPENDENT algorithm:
+    R(p) = max over seeds q of min(marker(q), bottleneck of mask along a
+    path q->p), computed by a Dijkstra-style widest-path flood — a
+    different construction than the dilate-clip fixpoint under test."""
+    import heapq
+
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        reconstruct_grayscale_numpy,
+    )
+
+    def widest_path_reconstruct(marker, mask, connectivity=8):
+        h, w = mask.shape
+        best = np.minimum(marker, mask).astype(np.float64)
+        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if connectivity == 8:
+            offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        heap = [(-best[r, c], r, c) for r in range(h) for c in range(w)]
+        heapq.heapify(heap)
+        while heap:
+            nv, r, c = heapq.heappop(heap)
+            v = -nv
+            if v < best[r, c]:
+                continue
+            for dr, dc in offs:
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w:
+                    cand = min(v, mask[nr, nc])
+                    if cand > best[nr, nc]:
+                        best[nr, nc] = cand
+                        heapq.heappush(heap, (-cand, nr, nc))
+        return best
+
+    rng = np.random.default_rng(23)
+    for conn in (4, 8):
+        for _ in range(6):
+            mask = rng.integers(0, 6, (9, 11)).astype(np.float64)
+            marker = np.where(
+                rng.random((9, 11)) < 0.15, mask, 0.0
+            )  # sparse seeds under the mask
+            got = reconstruct_grayscale_numpy(marker, mask, conn)
+            exp = widest_path_reconstruct(marker, mask, conn)
+            assert np.array_equal(got, exp), conn
+            # invariants: marker∧mask <= R <= mask; idempotent
+            assert (got >= np.minimum(marker, mask) - 1e-12).all()
+            assert (got <= mask + 1e-12).all()
+            assert np.array_equal(
+                reconstruct_grayscale_numpy(got, mask, conn), got
+            )
+
+
+def test_reconstruct_grayscale_reduces_to_binary():
+    """On 0/1 inputs the grayscale fixpoint equals the closed-form
+    binary reconstruction (the fast path the call sites use)."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        reconstruct_2d_numpy,
+        reconstruct_grayscale_numpy,
+    )
+
+    rng = np.random.default_rng(29)
+    for conn in (4, 8):
+        for _ in range(6):
+            mask = rng.random((10, 12)) < 0.55
+            marker = mask & (rng.random((10, 12)) < 0.2)
+            gray = reconstruct_grayscale_numpy(
+                marker.astype(float), mask.astype(float), conn
+            )
+            assert np.array_equal(gray > 0.5, reconstruct_2d_numpy(marker, mask, conn)), conn
