@@ -1347,6 +1347,51 @@ def q_polygon_edt(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing sample (operators.sampling): per-lang
+    keep fractions decided by an md5-derived uniform key — a pure
+    function of (salt, doc_id), so the sample is reproducible across
+    runs/partitionings/engines. FULLY ORACLED: DuckDB recomputes the
+    identical md5 key (the same engine-portability contract as the
+    simhash oracle) and the identical per-stratum thresholds; the
+    rounded key column makes the oracle verify the key ARITHMETIC, not
+    just the selected set."""
+    from combinedfeatureextraction_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        ["doc_id"],
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1},
+        default_fraction=0.05,
+        salt=7,
+        key_out="sample_key",
+    )
+    return out.select(
+        "doc_id", "lang", _r("sample_key").alias("sample_key")
+    )
+
+
+def q_pack_tokens(spark, sf_dir):
+    """Sequence packing (operators.packing): documents laid end-to-end
+    per source and chunked into 4096-token training bins — start
+    offset, bin id, intra-bin offset and boundary-spill flag are all
+    closed-form over ONE window cumsum (the engine's standard
+    one-exchange-one-sort shape). FULLY ORACLED via the same window
+    cumsum in SQL."""
+    from combinedfeatureextraction_spark.operators.packing import pack_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_tokens(docs, ["source"], ["doc_id"], "n_chars", 4096)
+    return out.select(
+        "doc_id", "source", "start_offset", "bin_id", "bin_offset",
+        "spans_boundary",
+    )
+
+
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
@@ -1386,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          ALL registered queries in CI/pytest)."""
     return {
         # -- r04: changed impl / new oracle / new query — gate first -----
+        "stratified_sample": q_stratified_sample,  # NEW in r04 (md5-portable sampling)
+        "pack_tokens": q_pack_tokens,  # NEW in r04 (sequence packing)
         "watershed_split": q_watershed_split,  # oracle NEW (SQL peak/valley dual)
         "polygon_components": q_polygon_components,  # fixture+oracle NEW (two-rect)
         "polygon_watershed": q_polygon_watershed,  # oracle NEW (symmetric-split closed form)
@@ -1436,11 +1483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deconvolution": q_deconvolution,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
-        "embedding_topk": q_embedding_topk,
-        "dedup_clusters": q_dedup_clusters,
         # ---- position 51+ : rotated out of the r04 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r03.json
         # and remains in the repo harness / pytest gate)
+        "embedding_topk": q_embedding_topk,
+        "dedup_clusters": q_dedup_clusters,
         "lag_lead": q_lag_lead,
         "session_stats": q_session_stats,
         "forward_fill": q_forward_fill,
@@ -1857,6 +1904,38 @@ FROM (
     (vec_id * 5) % 10 + 4 AS rh
   FROM embeddings
 )
+""",
+        # stratified_sample: exact dual — DuckDB recomputes the md5 key
+        # (same engine-portable hash contract as the simhash oracle:
+        # '7' || chr(31) || doc_id, first 12 hex digits as a 48-bit
+        # integer / 2^48; every term exact in double arithmetic) and the
+        # per-stratum thresholds.
+        "stratified_sample": """
+WITH k AS (
+  SELECT doc_id, lang,
+    list_sum(list_transform(generate_series(1, 12),
+      i -> (strpos('0123456789abcdef',
+                   substr(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)),
+                          i, 1)) - 1) * pow(16, 12 - i)))
+      / 281474976710656.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, round(u, 6) AS sample_key
+FROM k
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                    WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.05 END
+""",
+        # pack_tokens: exact dual — the same window cumsum arithmetic.
+        "pack_tokens": """
+SELECT doc_id, source,
+  CAST(sum(n_chars) OVER w - n_chars AS BIGINT) AS start_offset,
+  CAST((sum(n_chars) OVER w - n_chars) // 4096 AS BIGINT) AS bin_id,
+  CAST((sum(n_chars) OVER w - n_chars) % 4096 AS BIGINT) AS bin_offset,
+  (n_chars > 0) AND
+    ((sum(n_chars) OVER w - 1) // 4096
+     > (sum(n_chars) OVER w - n_chars) // 4096) AS spans_boundary
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY doc_id)
 """,
         # watershed_split: exact SQL dual of the 1-D marker watershed.
         # Peaks: rows rising on the left (or session start) whose NEXT

@@ -82,6 +82,10 @@ def run(cpus: int) -> dict:
     from combinedfeatureextraction_spark.plans.pipeline import rowlevel_features
     from combinedfeatureextraction_spark.session import get_spark
 
+    # co-tenant pressure BEFORE this process starts any work: the 1-min
+    # load here is entirely other tenants' — the cleanest quiet/contended
+    # label a rep can get (boundary loads below include our own decay).
+    load_pre = round(os.getloadavg()[0], 2)
     # pin GC threads to the core budget: in local mode the JVM otherwise
     # GCs with all machine cores, which would let local[8] borrow the other
     # 24 cores and understate true 8-core throughput
@@ -206,13 +210,21 @@ def run(cpus: int) -> dict:
         variants = {k: v for k, v in variants.items() if k in only.split(",")}
     reps = int(os.environ.get("CFE_SCALE_REPS", "3"))
     walls: dict[str, list[float]] = {k: [] for k in variants}
+    # loadavg gate (r03-verdict item 5): record 1-min load at each rep
+    # boundary so co-tenant pressure is LABELED per measurement instead of
+    # inferred after the fact. A rep that starts with load-1m beyond the
+    # spark job's own footprint is contention-suspect; run_all aggregates
+    # the gate verdict into the report.
+    loads: list[float] = []
     for rep in range(reps):
+        loads.append(round(os.getloadavg()[0], 2))
         for name, fn in variants.items():
             if name == "wide" and rep > 0:
                 continue  # reference number only — keep total wall bounded
             t0 = time.time()
             fn()
             walls[name].append(time.time() - t0)
+    loads.append(round(os.getloadavg()[0], 2))
     def best(name: str) -> float:
         return min(walls[name]) if walls.get(name) else float("nan")
 
@@ -239,12 +251,15 @@ def run(cpus: int) -> dict:
         "text_wall_sec": round(best("text"), 2),
         "text_docs": n_docs,
         "text_docs_per_sec": round(n_docs / best("text"), 1),
+        "loadavg_1m_pre_session": load_pre,
+        "loadavg_1m_at_rep_boundaries": loads,
     }
     spark.stop()
     return out
 
 
 def run_all() -> None:
+    load_pre_attempt = round(os.getloadavg()[0], 2)
     prepare_proc = subprocess.run(
         [sys.executable, __file__, "prepare"], cwd=REPO, check=True
     )
@@ -259,6 +274,12 @@ def run_all() -> None:
             text=True,
         )
         results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+    # post-attempt load AFTER our own 1-min decay (~150 s, e^-2.5): a
+    # co-tenant that ramped up mid-attempt is visible here where the
+    # pre-attempt sample missed it (observed in the r04 first attempt:
+    # pre 0.82 quiet, local[32] phase contended anyway).
+    time.sleep(int(os.environ.get("CFE_SCALE_SETTLE", "150")))
+    load_post_attempt = round(os.getloadavg()[0], 2)
     thr8 = results[8]["rows_per_sec"]
     thr32 = results[32]["rows_per_sec"]
     core_sp = results[32]["core_rows_per_sec"] / results[8]["core_rows_per_sec"]
@@ -297,6 +318,31 @@ def run_all() -> None:
             / 4.0,
             3,
         ),
+        # loadavg gate (r03-verdict item 5): label this attempt quiet or
+        # contended from the 1-min loads that are purely other tenants' —
+        # pre-attempt (before any subprocess) and pre-local[8]-session.
+        # (local32_pre is recorded but NOT gated: it still carries the
+        # decaying tail of our own just-finished local[8] run.) Threshold
+        # 4.0 ≈ an eighth of the machine; the r03 co-tenant ran ~12
+        # cores, which this gate would have flagged.
+        "load_gate": {
+            "pre_attempt": load_pre_attempt,
+            "post_attempt_settled": load_post_attempt,
+            "local8_pre": results[8].get("loadavg_1m_pre_session"),
+            "local32_pre": results[32].get("loadavg_1m_pre_session"),
+            "local8_boundaries": results[8].get(
+                "loadavg_1m_at_rep_boundaries"
+            ),
+            "local32_boundaries": results[32].get(
+                "loadavg_1m_at_rep_boundaries"
+            ),
+            "quiet": max(
+                load_pre_attempt,
+                results[8].get("loadavg_1m_pre_session") or 99,
+                load_post_attempt,
+            )
+            <= 4.0,
+        },
     }
     (REPO / ".fixtures" / "scaling_result.json").write_text(json.dumps(report))
     print(json.dumps(report))

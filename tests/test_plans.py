@@ -159,3 +159,27 @@ def test_asof_broadcast_plan_contract(spark, tmp_path):
     ), plan
     scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
     assert "GreaterThan(flag,10)" in scan, scan
+
+
+def test_sampling_is_shuffle_free_and_packing_single_exchange(spark):
+    """r04 ops keep the 100 TB discipline: deterministic sampling is a
+    pure codegen'd filter (zero exchanges of any kind); pack_tokens is
+    the engine's standard ONE hash exchange + ONE in-partition sort."""
+    from combinedfeatureextraction_spark.operators.packing import pack_tokens
+    from combinedfeatureextraction_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"s{i % 3}", 10 + i) for i in range(100)],
+        "doc_id long, lang string, source string, n_tok long",
+    )
+    s = stratified_sample(docs, ["doc_id"], "lang", {"en": 0.5}, 0.1, salt=1)
+    plan = _plan(s)
+    assert "Exchange" not in plan, plan
+    # "*(n) Filter" prefix = the filter runs inside whole-stage codegen
+    assert re.search(r"\*\(\d+\) Filter", plan), plan
+    p = pack_tokens(docs, ["source"], ["doc_id"], "n_tok", 100)
+    plan = _plan(p)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
