@@ -55,7 +55,7 @@ def main() -> None:
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
-        "salted_agg",
+        "salted_agg", "stratified_sample", "pack_tokens",
     ]
     # warm the JVM/parquet footer caches once with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
@@ -94,7 +94,8 @@ def main() -> None:
         q for q in headline
         if q not in ("polygon_components", "polygon_watershed",
                      "polygon_holes", "media_decode", "media_decode_png",
-                     "polygon_edt", "simhash_dedup")
+                     "polygon_edt", "simhash_dedup", "stratified_sample",
+                     "pack_tokens")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3
