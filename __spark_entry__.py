@@ -1392,6 +1392,27 @@ def q_pack_tokens(spark, sf_dir):
     )
 
 
+def q_rep_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021),
+    scan-side: duplicate word / 2-gram / 3-gram fractions as pure native
+    array math — zero shuffle. FULLY ORACLED via DuckDB list functions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _r(X.dup_ngram_frac("text", 1)).alias("dup_word_frac"),
+        _r(X.dup_ngram_frac("text", 2)).alias("dup_2gram_frac"),
+        _r(X.dup_ngram_frac("text", 3)).alias("dup_3gram_frac"),
+    )
+
+
+def q_top_ngram(spark, sf_dir):
+    """The aggregate-shaped repetition signal: most frequent word 2-gram
+    per document + the character fraction it covers (explode → count →
+    per-doc argmax, deterministic tie-break). FULLY ORACLED."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.top_ngram_stats(docs, "doc_id", "text", n=2)
+
+
 def q_watershed_split(spark, sf_dir):
     """W5 (complete): 1-D watershed — sessions split at value-valleys
     between value-peaks (FeatureExtractor.py:346-354 marker-watershed
@@ -1433,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r04: changed impl / new oracle / new query — gate first -----
         "stratified_sample": q_stratified_sample,  # NEW in r04 (md5-portable sampling)
         "pack_tokens": q_pack_tokens,  # NEW in r04 (sequence packing)
+        "rep_signals": q_rep_signals,  # NEW in r04 (Gopher dup-ngram fractions)
+        "top_ngram": q_top_ngram,  # NEW in r04 (top-ngram char fraction)
         "watershed_split": q_watershed_split,  # oracle NEW (SQL peak/valley dual)
         "polygon_components": q_polygon_components,  # fixture+oracle NEW (two-rect)
         "polygon_watershed": q_polygon_watershed,  # oracle NEW (symmetric-split closed form)
@@ -1481,11 +1504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_holes": q_polygon_holes,
         "polygon_edt": q_polygon_edt,
         "deconvolution": q_deconvolution,
-        "exact_dedup": q_exact_dedup,
-        "minhash_dedup": q_minhash_dedup,
         # ---- position 51+ : rotated out of the r04 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r03.json
         # and remains in the repo harness / pytest gate)
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
         "embedding_topk": q_embedding_topk,
         "dedup_clusters": q_dedup_clusters,
         "lag_lead": q_lag_lead,
@@ -1936,6 +1959,58 @@ SELECT doc_id, source,
      > (sum(n_chars) OVER w - n_chars) // 4096) AS spans_boundary
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+""",
+        # rep_signals: exact dual — distinct-vs-total n-gram arithmetic
+        # over the same whitespace split (DuckDB list indices 1-based).
+        "rep_signals": """
+WITH g AS (
+  SELECT doc_id, ws,
+    list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                   i -> ws[i] || ' ' || ws[i+1]) AS g2,
+    list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+)
+SELECT doc_id,
+  round(CASE WHEN len(ws) <= 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END, 6)
+    AS dup_word_frac,
+  round(CASE WHEN len(g2) <= 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6)
+    AS dup_2gram_frac,
+  round(CASE WHEN len(g3) <= 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6)
+    AS dup_3gram_frac
+FROM g
+""",
+        # top_ngram: exact dual — same explode/count/argmax with the
+        # same (count desc, gram asc) tie-break.
+        "top_ngram": """
+WITH w AS (
+  SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, chars,
+    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                          i -> ws[i] || ' ' || ws[i+1])) AS g2
+  FROM w
+),
+c AS (
+  SELECT doc_id, chars, g2, count(*) AS cnt
+  FROM g GROUP BY doc_id, chars, g2
+),
+t AS (
+  SELECT doc_id, chars, g2, cnt,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g2 ASC) AS rn
+  FROM c
+)
+SELECT d.doc_id,
+  CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_ngram_count,
+  round(coalesce(CAST(t.cnt * length(t.g2) AS DOUBLE) / t.chars, 0.0), 6)
+    AS top_ngram_char_frac
+FROM documents d
+LEFT JOIN (SELECT * FROM t WHERE rn = 1) t ON d.doc_id = t.doc_id
 """,
         # watershed_split: exact SQL dual of the 1-D marker watershed.
         # Peaks: rows rising on the left (or session start) whose NEXT

@@ -56,6 +56,7 @@ def main() -> None:
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
         "salted_agg", "stratified_sample", "pack_tokens",
+        "rep_signals", "top_ngram",
     ]
     # warm the JVM/parquet footer caches once with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
@@ -95,7 +96,7 @@ def main() -> None:
         if q not in ("polygon_components", "polygon_watershed",
                      "polygon_holes", "media_decode", "media_decode_png",
                      "polygon_edt", "simhash_dedup", "stratified_sample",
-                     "pack_tokens")
+                     "pack_tokens", "rep_signals", "top_ngram")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3

@@ -179,3 +179,75 @@ def fingerprint_agg(df, id_col: str, text_col: str, out_col: str = "fp"):
     )
     term = (F.ascii("_w").cast("long") * (F.col("_pos") + F.lit(1))) % _MOD
     return pos_w.groupBy(id_col).agg((F.sum(term) % _MOD).alias(out_col))
+
+
+def dup_ngram_frac(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021 quality filters;
+    beyond-reference training-data tier): the fraction of word n-grams
+    that repeat an earlier n-gram in the same document —
+    1 − distinct/total, 0 for documents shorter than n words. Pure
+    native array math at the scan (split + shifted-slice shingles +
+    array_distinct): zero shuffle, zero interpreted lambdas in the
+    counting path."""
+    from combinedfeatureextraction_spark.operators.dedup import word_shingles
+
+    c = _c(col)
+    total = F.greatest(F.size(F.split(c, " ")) - (n - 1), F.lit(0))
+    distinct = F.size(word_shingles(c, n))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    )
+
+
+def top_ngram_stats(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    count_out: str = "top_ngram_count",
+    frac_out: str = "top_ngram_char_frac",
+):
+    """The aggregate-shaped Gopher repetition signal: the most frequent
+    word n-gram per document and the fraction of the document's
+    characters it covers (count × gram length / text length). Explode →
+    per-(doc, gram) count → per-doc argmax (deterministic tie-break:
+    count desc, gram asc) — the combinable explode+groupBy shape
+    (fingerprint_agg's pattern), never a per-row lambda fold. Returns
+    (id_col, count_out, frac_out); documents with no n-gram get count 0
+    and fraction 0."""
+    from pyspark.sql import Window
+
+    from combinedfeatureextraction_spark.operators.dedup import (
+        word_shingles_all,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("double").alias("_chars"),
+        word_shingles_all(text_col, n).alias("_sh"),
+    )
+    counts = (
+        base.select(id_col, "_chars", F.explode("_sh").alias("_g"))
+        .groupBy(id_col, "_chars", "_g")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cnt").desc(), F.col("_g").asc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("_cnt").alias(count_out),
+            F.round(
+                F.col("_cnt") * F.length("_g") / F.col("_chars"), 6
+            ).alias(frac_out),
+        )
+    )
+    # left join back so short documents (no n-grams) keep a row
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .na.fill({count_out: 0, frac_out: 0.0})
+    )

@@ -44,9 +44,9 @@ def exact_dedup(
 
 # ------------------------------------------------------------- shingles
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingle array, built array-side (no explode):
-    transform over a 0..len-n index sequence."""
+def word_shingles_all(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array WITH repeats (positional), built
+    array-side (no explode): one shingle per window position."""
     c = F.col(col) if isinstance(col, str) else col
     ws = F.split(c, " ")
     k = F.size(ws) - (n - 1)  # number of shingles
@@ -58,7 +58,12 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     for j in range(1, n):
         nxt = F.slice(ws, 1 + j, F.greatest(k, F.lit(0)))
         sh = F.zip_with(sh, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(sh)
+    return sh
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array (see word_shingles_all)."""
+    return F.array_distinct(word_shingles_all(col, n))
 
 
 def jaccard(a: Column, b: Column) -> Column:

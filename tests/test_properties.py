@@ -142,3 +142,63 @@ def test_fingerprint_agg_matches_column_form(spark, texts):
         r["id"]: r["fp"] for r in fingerprint_agg(df, "id", "x").collect()
     }
     assert agg_form == col_form
+
+
+def test_dup_ngram_frac_matches_python(spark):
+    """Repetition signals vs a direct python recomputation, including
+    plateau/edge docs (all-same words, no repeats, shorter than n)."""
+    from combinedfeatureextraction_spark.functions.text import dup_ngram_frac
+
+    texts = [
+        "a a a a a",                     # all duplicate words
+        "one two three four",           # no repeats
+        "x",                            # shorter than 2-grams
+        "ab ab cd ab cd",               # mixed
+        "p q p q p q",                  # repeating 2-grams
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    out = {
+        r["i"]: (r["d1"], r["d2"], r["d3"])
+        for r in df.select(
+            "i",
+            dup_ngram_frac("text", 1).alias("d1"),
+            dup_ngram_frac("text", 2).alias("d2"),
+            dup_ngram_frac("text", 3).alias("d3"),
+        ).collect()
+    }
+
+    def py(t, n):
+        ws = t.split(" ")
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        return 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
+
+    for i, t in enumerate(texts):
+        for j, n in enumerate((1, 2, 3)):
+            assert abs(out[i][j] - py(t, n)) < 1e-12, (i, n)
+
+
+def test_top_ngram_stats_matches_python(spark):
+    from collections import Counter
+
+    from combinedfeatureextraction_spark.functions.text import top_ngram_stats
+
+    texts = ["a b a b a b c", "x", "m n m n", "one two three"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["top_ngram_count"], r["top_ngram_char_frac"])
+        for r in top_ngram_stats(df, "doc_id", "text", n=2).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        grams = [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        if not grams:
+            assert out[i] == (0, 0.0), i
+            continue
+        cnt = Counter(grams)
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out[i][0] == best[1], i
+        assert abs(out[i][1] - round(best[1] * len(best[0]) / len(t), 6)) < 1e-12
