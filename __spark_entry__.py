@@ -402,11 +402,36 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
+    """Rows-only BY DESIGN: at bits=6 the candidate set is genuinely
+    approximate (depends on the seeded hyperplane draw — no ANSI
+    statement reproduces it). The LSH *machinery* is driver-gated
+    exactly by q_lsh_topk_exact below; recall/scaling are pytest- and
+    probe-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(emb, queries, "vec_id", "embedding", k=5, bits=6, tables=4)
+
+
+def q_lsh_topk_exact(spark, sf_dir):
+    """LSH plumbing driver-gated EXACT (round-4): at bits=0 every vector
+    lands in the single bucket of every table — signatures still run
+    through the real mapInArrow matmul (a (n,dim)@(dim,0) product),
+    candidates through the real posexplode/join/dedup path, and the
+    exact re-rank sees the whole corpus, so the result is brute-force
+    top-k by construction and hash-matches the SQL dual. The
+    approximate regime stays q_lsh_topk (rows-only). Exactness as
+    bits→0 is the documented recovery contract (operators/similarity.py
+    module docstring)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, "vec_id", "embedding", k=5, bits=0, tables=2)
+    return out.select(
+        "query_id", "vec_id", _r("cos_sim").alias("cos_sim"), "rank"
+    )
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1469,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_grid": q_asof_join_grid,  # impl changed (post-pull revalidation)
         "streaming_asof": q_streaming_asof,  # grid path shared with the above
         "lsh_topk": q_lsh_topk,  # impl changed (broadcast_queries param)
+        "lsh_topk_exact": q_lsh_topk_exact,  # NEW in r04 (bits=0 exact gate)
         "media_decode": q_media_decode,  # codec module touched (PNG dispatch)
         # -- r02-dated rows rotated back in (driver row ages to 2 rounds) -
         "payload_passthrough": q_payload_passthrough,
@@ -1503,10 +1529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_features": q_polygon_features,
         "polygon_holes": q_polygon_holes,
         "polygon_edt": q_polygon_edt,
-        "deconvolution": q_deconvolution,
         # ---- position 51+ : rotated out of the r04 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r03.json
         # and remains in the repo harness / pytest gate)
+        "deconvolution": q_deconvolution,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "embedding_topk": q_embedding_topk,
@@ -2338,6 +2364,28 @@ SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
         # SQL shape to embedding_topk, gating a completely different
         # Spark plan (mapInArrow assignment + explode + joins + dedup).
         "ivf_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(list_zip(e.embedding, q.qe),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    AS cs
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        # lsh_topk_exact: at bits=0 every vector shares the single
+        # bucket, so the LSH candidate machinery must return brute-force
+        # top-k exactly — same SQL dual shape as embedding_topk/ivf_topk,
+        # gating a third distinct Spark plan (mapInArrow bucketize +
+        # posexplode + bucket join + dedup + re-rank).
+        "lsh_topk_exact": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.query_id, e.vec_id,

@@ -43,3 +43,41 @@ def test_curate_corpus(spark, corpus):
     # counts are monotone per language
     for _, r in m.iterrows():
         assert r["n_raw"] >= r["n_quality"] >= r["n_exact"] >= r["n_curated"]
+
+
+def test_curate_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
+    """jobs/curate_corpus.py smoke: sample -> curate -> pack -> bucketed
+    snapshot write, one JSON summary line; the written snapshot reads
+    back with consistent counts and packing columns."""
+    import json
+    import sys
+
+    from jobs import curate_corpus as job
+    from combinedfeatureextraction_spark.sources.catalog import read_snapshot
+
+    out = str(tmp_path / "curated")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_corpus.py",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--sample-fraction", "0.9", "--sample-salt", "s1",
+        "--pack-capacity", "512", "--buckets", "4",
+    ])
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    job.main()
+    summary = json.loads(printed[-1])
+    assert summary["docs_in"] > 0
+    back = read_snapshot(spark, out)
+    assert back.count() == summary["docs_curated"] > 0
+    cols = set(back.columns)
+    assert {"lang_pred", "quality", "n_tokens", "fp",
+            "start_offset", "bin_id", "bin_offset", "spans_boundary",
+            "bucket"} <= cols
+    # packing consistency inside the snapshot: offsets are the per-lang
+    # cumsum of n_tokens in id order
+    pdf = back.toPandas().sort_values(["lang_pred", "doc_id"])
+    for _, g in pdf.groupby("lang_pred"):
+        assert g["start_offset"].tolist() == (
+            g["n_tokens"].cumsum() - g["n_tokens"]
+        ).tolist()
