@@ -1417,6 +1417,24 @@ def q_pack_tokens(spark, sf_dir):
     )
 
 
+def q_stratified_take(spark, sf_dir):
+    """Exact per-stratum quota sampling (operators.sampling
+    .stratified_take): the 30 smallest-md5-key docs per language —
+    deterministic quota draws for data mixing. FULLY ORACLED: DuckDB
+    recomputes the md5 keys and the same per-stratum rank."""
+    from combinedfeatureextraction_spark.operators.sampling import (
+        stratified_take,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_take(
+        docs, ["doc_id"], "lang", 30, salt=11, key_out="sample_key"
+    )
+    return out.select(
+        "doc_id", "lang", _r("sample_key").alias("sample_key")
+    )
+
+
 def q_rep_signals(spark, sf_dir):
     """Gopher-style repetition quality signals (Rae et al. 2021),
     scan-side: duplicate word / 2-gram / 3-gram fractions as pure native
@@ -1479,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r04: changed impl / new oracle / new query — gate first -----
         "stratified_sample": q_stratified_sample,  # NEW in r04 (md5-portable sampling)
         "pack_tokens": q_pack_tokens,  # NEW in r04 (sequence packing)
+        "stratified_take": q_stratified_take,  # NEW in r04 (exact quota sampling)
         "rep_signals": q_rep_signals,  # NEW in r04 (Gopher dup-ngram fractions)
         "top_ngram": q_top_ngram,  # NEW in r04 (top-ngram char fraction)
         "watershed_split": q_watershed_split,  # oracle NEW (SQL peak/valley dual)
@@ -1985,6 +2004,25 @@ SELECT doc_id, source,
      > (sum(n_chars) OVER w - n_chars) // 4096) AS spans_boundary
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+""",
+        # stratified_take: exact dual — same md5 keys (salt 11), same
+        # per-stratum (u asc, doc_id asc) rank, same quota.
+        "stratified_take": """
+WITH k AS (
+  SELECT doc_id, lang,
+    list_sum(list_transform(generate_series(1, 12),
+      i -> (strpos('0123456789abcdef',
+                   substr(md5('11' || chr(31) || CAST(doc_id AS VARCHAR)),
+                          i, 1)) - 1) * pow(16, 12 - i)))
+      / 281474976710656.0 AS u
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY u ASC, doc_id ASC) AS rk
+  FROM k
+)
+SELECT doc_id, lang, round(u, 6) AS sample_key FROM r WHERE rk <= 30
 """,
         # rep_signals: exact dual — distinct-vs-total n-gram arithmetic
         # over the same whitespace split (DuckDB list indices 1-based).

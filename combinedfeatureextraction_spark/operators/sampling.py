@@ -80,3 +80,41 @@ def stratified_sample(
     if key_out:
         out = out.withColumn(key_out, u)
     return out
+
+
+def stratified_take(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    strata_col: str,
+    n_per_stratum: int,
+    salt: int | str = 0,
+    key_out: str | None = None,
+) -> DataFrame:
+    """EXACT per-stratum quotas (vs stratified_sample's binomial
+    fractions): keep the ``n_per_stratum`` rows with the smallest md5
+    sample keys in each stratum — a deterministic, engine-portable
+    "random" quota that is stable across runs/partitionings and, like
+    the fraction sampler, monotone in n (the top-100 set contains the
+    top-50 set at the same salt). One window shuffle on the stratum key
+    (rank over the md5 key); strata are independent, so parallelism =
+    number of strata — pre-split giant strata if one stratum dominates.
+    """
+    from pyspark.sql import Window
+
+    u = sample_key(id_cols, salt)
+    out = (
+        df.withColumn("_u", u)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(strata_col).orderBy(
+                    F.col("_u").asc(), *id_cols
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= int(n_per_stratum))
+        .drop("_rk")
+    )
+    if key_out:
+        return out.withColumnRenamed("_u", key_out)
+    return out.drop("_u")

@@ -124,3 +124,34 @@ def test_pack_tokens_empty_rows_and_capacity_guard(spark):
     assert out["spans_boundary"].tolist() == [False, False, False, True]
     with pytest.raises(ValueError, match="capacity"):
         pack_tokens(df, [], ["doc_id"], "n_tok", 0)
+
+
+def test_stratified_take_exact_quota_and_monotone(spark):
+    from combinedfeatureextraction_spark.operators.sampling import (
+        stratified_take,
+    )
+
+    docs = _docs(spark)
+    out = stratified_take(docs, ["doc_id"], "lang", 25, salt=2)
+    counts = {
+        r["lang"]: r["count"]
+        for r in out.groupBy("lang").count().collect()
+    }
+    assert counts == {"en": 25, "de": 25, "fr": 25, "xx": 25}
+    # quota beyond stratum size keeps the whole stratum
+    all_rows = stratified_take(docs, ["doc_id"], "lang", 1000, salt=2)
+    assert all_rows.count() == 400
+    # monotone: top-10 ⊆ top-25 at the same salt; partitioning-stable
+    top10 = {
+        r["doc_id"]
+        for r in stratified_take(docs, ["doc_id"], "lang", 10, salt=2).collect()
+    }
+    top25 = {r["doc_id"] for r in out.collect()}
+    assert top10 <= top25
+    repart = {
+        r["doc_id"]
+        for r in stratified_take(
+            docs.repartition(7), ["doc_id"], "lang", 25, salt=2
+        ).collect()
+    }
+    assert repart == top25
