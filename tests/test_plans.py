@@ -183,3 +183,15 @@ def test_sampling_is_shuffle_free_and_packing_single_exchange(spark):
     plan = _plan(p)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    # stratified_take: one exchange on the stratum key, and Spark plants
+    # a PARTIAL WindowGroupLimit (map-side top-n) BEFORE the shuffle —
+    # only <= n rows per partition per stratum cross the wire, the shape
+    # you want at 100 TB. Lock both properties.
+    from combinedfeatureextraction_spark.operators.sampling import (
+        stratified_take,
+    )
+
+    t = stratified_take(docs, ["doc_id"], "lang", 5, salt=3)
+    plan = _plan(t)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan

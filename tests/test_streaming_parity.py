@@ -65,3 +65,41 @@ def test_streaming_sessions_match_batch(spark, seqs_df, tmp_path):
         got["session_sum"].astype(float).values,
         b["session_sum"].astype(float).values,
     )
+
+
+def test_streaming_deterministic_sample_matches_batch(spark, tmp_path):
+    """Deterministic sampling is a stateless codegen filter, so it runs
+    UNCHANGED on a stream — and because the keep decision is a pure
+    function of row identity, the streaming selection is byte-identical
+    to the batch selection (no RNG/state divergence, regardless of
+    micro-batch boundaries)."""
+    from combinedfeatureextraction_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    src = str(tmp_path / "sample_src")
+    spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sampled = deterministic_sample(stream, ["doc_id"], 0.3, salt=9)
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("t_sample")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.table("t_sample").collect()
+    )
+    batch = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(
+            spark.read.parquet(src), ["doc_id"], 0.3, salt=9
+        ).collect()
+    )
+    assert got == batch and 0 < len(got) < 500
