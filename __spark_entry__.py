@@ -1336,6 +1336,81 @@ def q_media_decode_png(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """Baseline JPEG decode, ORACLED on the standard's EXACT half
+    (round-4): T.81 specifies marker parsing + Huffman entropy decoding
+    + dequantization bit-exactly (only the IDCT carries an accuracy
+    tolerance), so COEFFICIENT-domain features are externally
+    verifiable. Payloads are grayscale baseline JPEGs built per vec_id
+    by the test-rig encoder (Annex K.3 tables, quant=1) from planted
+    quantized coefficients — DC of block i = 8·((v·7+i·5) mod 16)
+    (exercising the DC prediction chain), zigzag AC positions 1..9 =
+    ((v·11+i·13+j·17) mod 7) − 3 (zeros → runs/EOB) — then decoded
+    through the REAL path (multimodal/jpeg.py: bit reader with byte
+    unstuffing, canonical Huffman, EXTEND, dequant). The DuckDB dual
+    recomputes dc_sum / ac_abs_sum from the same arithmetic; a
+    table-construction, bit-order, predictor or run-length bug breaks
+    the hash. The pixel half (float IDCT + fancy 4:2:0 upsampling +
+    YCbCr) is pinned against Java ImageIO within the spec tolerance in
+    tests/test_jpeg.py; n_samples here proves it executes. Ref analog:
+    slide-payload decode S2 (FeatureExtractor.py:300)."""
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def rig(batches):
+        import numpy as np
+        import pandas as pd
+
+        from combinedfeatureextraction_spark.multimodal.jpeg import (
+            _ZIGZAG,
+            decode_jpeg,
+            decode_jpeg_coeffs,
+            encode_jpeg_gray_numpy,
+        )
+
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                v = int(v)
+                q = np.zeros((2, 3, 8, 8), np.int64)
+                for i in range(6):
+                    by, bx = divmod(i, 3)
+                    nat = np.zeros(64, np.int64)
+                    nat[0] = 8 * ((v * 7 + i * 5) % 16)
+                    for j in range(1, 10):
+                        nat[_ZIGZAG[j]] = (v * 11 + i * 13 + j * 17) % 7 - 3
+                    q[by, bx] = nat.reshape(8, 8)
+                payload = encode_jpeg_gray_numpy(q)
+                grids, meta = decode_jpeg_coeffs(payload)
+                c = grids[0]
+                dc_sum = int(c[:, :, 0, 0].sum())
+                ac_abs = int(np.abs(c).sum() - np.abs(c[:, :, 0, 0]).sum())
+                flat, w, h, ch = decode_jpeg(payload)
+                rows.append(
+                    (v, meta["width"], meta["height"],
+                     c.shape[0] * c.shape[1], dc_sum, ac_abs, len(flat))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_blocks",
+                         "dc_sum", "ac_abs_sum", "n_samples"],
+            )
+
+    return emb.mapInPandas(
+        rig,
+        T.StructType([
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_blocks", T.IntegerType(), False),
+            T.StructField("dc_sum", T.LongType(), False),
+            T.StructField("ac_abs_sum", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+        ]),
+    )
+
+
 def q_polygon_edt(spark, sf_dir):
     """The reference's ARTERY COMPOSITE (points_to_features_art,
     extract_reference_features.py:432-503): rasterize → EDT → max
@@ -1504,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_components": q_polygon_components,  # fixture+oracle NEW (two-rect)
         "polygon_watershed": q_polygon_watershed,  # oracle NEW (symmetric-split closed form)
         "media_decode_png": q_media_decode_png,  # NEW in r04 (stdlib PNG codec)
+        "media_decode_jpeg": q_media_decode_jpeg,  # NEW in r04 (baseline JPEG)
         "ivf_topk": q_ivf_topk,  # full-probe exact + oracle NEW
         "media_features": q_media_features,  # oracle NEW (byte-domain dual)
         "simhash_dedup": q_simhash_dedup,  # query changed (max_bucket=None)
@@ -1546,11 +1622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm_stats": q_glcm_stats,
         "component_stats": q_component_stats,
         "polygon_features": q_polygon_features,
-        "polygon_holes": q_polygon_holes,
-        "polygon_edt": q_polygon_edt,
         # ---- position 51+ : rotated out of the r04 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r03.json
         # and remains in the repo harness / pytest gate)
+        "polygon_holes": q_polygon_holes,
+        "polygon_edt": q_polygon_edt,
         "deconvolution": q_deconvolution,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -1953,6 +2029,29 @@ SELECT vec_id AS media_id,
   CAST(CASE vec_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 3 END AS INT) AS height,
   CAST(CASE vec_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels
 FROM s
+""",
+        # media_decode_jpeg: analytic dual of JPEG's EXACT half — the
+        # planted quantized coefficients are pure vec_id arithmetic, so
+        # after a REAL Huffman entropy decode + dequantization the
+        # coefficient-domain sums must reproduce it.
+        "media_decode_jpeg": """
+WITH b AS (
+  SELECT vec_id,
+    8 * list_sum(list_transform(generate_series(0, 5),
+                                i -> (vec_id * 7 + i * 5) % 16)) AS dcs,
+    list_sum(list_transform(generate_series(0, 5), i ->
+      list_sum(list_transform(generate_series(1, 9), j ->
+        abs((vec_id * 11 + i * 13 + j * 17) % 7 - 3))))) AS acs
+  FROM embeddings
+)
+SELECT vec_id AS media_id,
+  CAST(24 AS INT) AS width,
+  CAST(16 AS INT) AS height,
+  CAST(6 AS INT) AS n_blocks,
+  CAST(dcs AS BIGINT) AS dc_sum,
+  CAST(acs AS BIGINT) AS ac_abs_sum,
+  CAST(384 AS INT) AS n_samples
+FROM b
 """,
         # polygon_holes: analytic dual — axis-aligned integer rectangles
         # rasterize pixel-exactly, so the rasterize -> background-CC ->

@@ -9,12 +9,16 @@ decodes natively with zero external deps: binary netpbm (P5/P6),
 RIFF/WAVE PCM (8/16-bit), uncompressed 24-bit BMP (round 3), and —
 round 4 — 8-bit PNG via stdlib zlib inflate + per-scanline unfilter
 (all five filter types, CRC-verified, cross-checked byte-identical
-against Java ImageIO in both directions). Dispatch is by magic bytes,
-verified by round-trip tests plus the ``media_decode`` /
-``media_decode_png`` analytic oracles. The remaining compressed
-formats (JPEG/FLAC/MP4/…) still raise NotImplementedError at the same
-seam: those genuinely need cv2/PIL/librosa, which are not in this
-container. ``decode=fake`` remains for byte-domain tests.
+against Java ImageIO in both directions) plus BASELINE JPEG
+(``multimodal.jpeg``: Huffman entropy decode + dequantization
+bit-exact per T.81, float IDCT / fancy 4:2:0 upsampling / YCbCr pixel
+path pinned to ImageIO within the spec tolerance). Dispatch is by
+magic bytes, verified by round-trip tests plus the ``media_decode`` /
+``media_decode_png`` / ``media_decode_jpeg`` analytic oracles. The
+remaining compressed formats (progressive JPEG/FLAC/MP4/…) still
+raise NotImplementedError at the same seam: those genuinely need
+cv2/PIL/librosa, which are not in this container. ``decode=fake``
+remains for byte-domain tests.
 
 Scale notes: binary payloads make rows wide — mapInPandas batches are
 bounded by spark.sql.execution.arrow.maxRecordsPerBatch, and the metadata
@@ -321,9 +325,14 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
         return decode_bmp(payload)[0]
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)[0]
+    if payload[:2] == b"\xff\xd8":
+        from combinedfeatureextraction_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)[0]
     raise NotImplementedError(
-        "compressed codec (JPEG/FLAC/MP4/...) requires cv2/PIL/librosa — "
-        "netpbm/WAV-PCM/BMP/PNG decode natively here"
+        "compressed codec (progressive JPEG/FLAC/MP4/...) requires "
+        "cv2/PIL/librosa — netpbm/WAV-PCM/BMP/PNG/baseline-JPEG decode "
+        "natively here"
     )
 
 
@@ -407,6 +416,12 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                     arr, w, h, ch = decode_bmp(payload)
                 elif payload[:8] == _PNG_SIG:
                     arr, w, h, ch = decode_png(payload)
+                elif payload[:2] == b"\xff\xd8":
+                    from combinedfeatureextraction_spark.multimodal.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    arr, w, h, ch = decode_jpeg(payload)
                 else:
                     arr = _decode_real(payload, mtype)  # raises: documented seam
                 rows.append(

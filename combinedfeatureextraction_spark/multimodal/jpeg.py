@@ -1,0 +1,472 @@
+"""Pure-stdlib baseline JPEG codec (SURVEY X-codec seam, round-4).
+
+The JPEG standard (ITU-T T.81) splits decoding into an EXACT half and an
+implementation-defined half: marker parsing + Huffman entropy decoding +
+dequantization reconstruct the quantized DCT coefficients bit-exactly in
+every conforming decoder, while the inverse DCT is only specified to an
+accuracy bound (Annex A) — different decoders legitimately differ by
+±1/pixel. This module follows that split:
+
+ - :func:`decode_jpeg_coeffs` — markers (SOI/DQT/DHT/SOF0/SOS/EOI),
+   Huffman tables, byte-stuffing-aware bit reader, DC prediction, AC
+   run-length, dequantization → per-block coefficient arrays. EXACT, so
+   coefficient-domain features are externally oracle-able
+   (the ``media_decode_jpeg`` analytic oracle).
+ - :func:`decode_jpeg` — adds the float IDCT + level shift + clamp for
+   pixel output; pinned against Java ImageIO within the spec's ±1
+   tolerance (tests), exact-dimension parity.
+ - :func:`encode_jpeg_gray_numpy` — test-rig encoder: builds a valid
+   baseline grayscale JPEG from CHOSEN quantized coefficient blocks
+   using the Annex K.3 typical Huffman tables, so planted-coefficient
+   fixtures have closed-form decoded values.
+
+Supported: baseline sequential DCT (SOF0), 8-bit, grayscale (1
+component) and YCbCr 4:4:4 / 4:2:0 (3 components) decode, restart
+markers. Progressive (SOF2), arithmetic coding and 12-bit raise
+NotImplementedError — the seam narrows to progressive-JPEG/FLAC/MP4.
+Reference analog: the slide-payload decode path S2
+(FeatureExtractor.py:300).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag order: index i of the scan -> (row, col) in the 8x8 block
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 "typical" Huffman tables: (bits[1..16], values)
+_K3_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K3_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+class _HuffTable:
+    """Canonical Huffman table from the DHT (bits, values) spec form."""
+
+    def __init__(self, bits: list[int], values: list[int]) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        self.enc: dict[int, tuple[int, int]] = {}
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                self.enc[values[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.bit()
+            v = self.lookup.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    raise _RestartMarker(nxt)
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_after_restart(self) -> None:
+        self.nbits = 0
+
+    def skip_restart_marker(self) -> None:
+        # reader.pos sits right after the 0xFF that raised; skip the RSTn id
+        self.pos += 1
+        self.nbits = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.12 EXTEND: map the n-bit magnitude to its signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _parse_segments(payload: bytes):
+    """Yield (marker, segment_bytes, segment_start) up to SOS; return
+    (segments dict-ish handled by caller)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        size = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + size]
+        yield marker, body, pos + 2 + size
+        if marker == 0xDA:  # SOS — entropy data follows
+            return
+        pos += 2 + size
+
+
+def decode_jpeg_coeffs(payload: bytes):
+    """EXACT half of JPEG decode: entropy-decode + dequantize the full
+    scan. Returns (coeffs, meta): ``coeffs`` maps component index →
+    float64 array (blocks_v, blocks_h, 8, 8) of DEQUANTIZED DCT
+    coefficients in natural (row, col) order; ``meta`` is a dict with
+    width/height/components/sampling."""
+    dqt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    sof = None
+    sos = None
+    restart_interval = 0
+    data_start = None
+    for marker, body, seg_end in _parse_segments(payload):
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                q = np.zeros(64)
+                q[_ZIGZAG] = np.frombuffer(body[p : p + 64], np.uint8)
+                dqt[tq] = q.reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(body[p + 17 : p + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(bits, values)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scomp = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scomp.append((cs, tt >> 4, tt & 0xF))
+            sos = scomp
+            data_start = seg_end
+    if sof is None or sos is None or data_start is None:
+        raise ValueError("missing SOF0/SOS")
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component block grids
+    grids = {}
+    for idx, (cid, hs, vs, tq) in enumerate(comps):
+        grids[idx] = np.zeros((mcus_y * vs, mcus_x * hs, 8, 8))
+    comp_by_id = {cid: idx for idx, (cid, _, _, _) in enumerate(comps)}
+    reader = _BitReader(payload, data_start)
+    pred = {idx: 0 for idx in range(len(comps))}
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # expect an RSTn here
+                try:
+                    while True:
+                        reader.bit()
+                except _RestartMarker:
+                    reader.skip_restart_marker()
+                    pred = {idx: 0 for idx in pred}
+            for cs, td, ta in sos:
+                idx = comp_by_id[cs]
+                _, hs, vs, tq = comps[idx]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.zeros(64)
+                        t = dc_tabs[td].decode(reader)
+                        if t > 11:
+                            raise ValueError("bad DC category")
+                        diff = _extend(reader.receive(t), t)
+                        pred[idx] += diff
+                        blk[0] = pred[idx]
+                        k = 1
+                        while k < 64:
+                            rs = ac_tabs[ta].decode(reader)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            blk[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        nat = np.zeros(64)
+                        nat[_ZIGZAG] = blk
+                        grids[idx][my * vs + by, mx * hs + bx] = (
+                            nat.reshape(8, 8) * dqt[tq]
+                        )
+            mcu += 1
+    meta = {
+        "width": w,
+        "height": h,
+        "n_components": len(comps),
+        "sampling": [(c[1], c[2]) for c in comps],
+        "mcus": (mcus_x, mcus_y),
+    }
+    return grids, meta
+
+
+def _idct_2d(blocks: np.ndarray) -> np.ndarray:
+    """Float 2-D type-III DCT over the last two axes (8x8), the JPEG
+    reconstruction transform (accuracy per Annex A — pixel output may
+    differ ±1 from other conforming decoders)."""
+    k = np.arange(8)
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    basis = c * np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)  # (x,u)
+    # out[..., x, y] = sum_u sum_v basis[x,u] basis[y,v] coef[..., u, v] / 4
+    return np.einsum("xu,yv,...uv->...xy", basis, basis, blocks) / 4.0
+
+
+def _h2v2_fancy_upsample(p: np.ndarray) -> np.ndarray:
+    """libjpeg's h2v2 "fancy" (triangle-filter) chroma upsampling
+    (jdsample.c): each output pixel is the 9:3:3:1 blend of the four
+    nearest chroma samples, with the exact integer colsum/shift/rounding
+    sequence (8 on even columns, 7 on odd) so our 4:2:0 reconstruction
+    tracks ImageIO/libjpeg closely. Edge replication falls out of the
+    clamped shifts. Input: int samples (h, w); output (2h, 2w)."""
+    h, w = p.shape
+    up = np.vstack([p[:1], p[:-1]])
+    dn = np.vstack([p[1:], p[-1:]])
+    out = np.empty((2 * h, 2 * w), np.int64)
+    for adj, rows in ((up, slice(0, 2 * h, 2)), (dn, slice(1, 2 * h, 2))):
+        t = 3 * p + adj  # vertical colsums
+        last = np.hstack([t[:, :1], t[:, :-1]])
+        nxt = np.hstack([t[:, 1:], t[:, -1:]])
+        out[rows, 0::2] = (3 * t + last + 8) >> 4
+        out[rows, 1::2] = (3 * t + nxt + 7) >> 4
+    return out
+
+
+def decode_jpeg(payload: bytes):
+    """Full pixel decode: coefficients → IDCT → +128 level shift → clamp
+    → (for 3 components) YCbCr→RGB with chroma upsampling (libjpeg-style
+    fancy triangle filter for 4:2:0, nearest otherwise). Returns
+    (flat float64 samples row-major [RGB interleaved for color], width,
+    height, channels)."""
+    grids, meta = decode_jpeg_coeffs(payload)
+    w, h = meta["width"], meta["height"]
+    hmax = max(hs for hs, _ in meta["sampling"])
+    vmax = max(vs for _, vs in meta["sampling"])
+    planes = []
+    for idx in range(meta["n_components"]):
+        hs, vs = meta["sampling"][idx]
+        px = _idct_2d(grids[idx]) + 128.0
+        bv, bh = px.shape[0], px.shape[1]
+        img = px.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
+        ry, rx = vmax // vs, hmax // hs
+        if ry == 2 and rx == 2:
+            samples = np.clip(np.round(img), 0, 255).astype(np.int64)
+            img = _h2v2_fancy_upsample(samples).astype(np.float64)
+        elif ry > 1 or rx > 1:
+            img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+        planes.append(img[:h, :w])
+    if meta["n_components"] == 1:
+        return np.clip(np.round(planes[0]), 0, 255).ravel(), w, h, 1
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).ravel(), w, h, 3
+
+
+def encode_jpeg_gray_numpy(
+    qblocks: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Test-rig ENCODER: a valid baseline grayscale JPEG whose entropy
+    data encodes exactly the given QUANTIZED coefficient blocks
+    (``qblocks``: int array (by, bx, 8, 8) in natural order), using the
+    Annex K.3 typical Huffman tables and ``quant`` (8x8, default all
+    ones so dequantized == planted). Lets fixtures plant coefficients
+    whose decoded values are closed-form — the media_decode_jpeg oracle.
+    """
+    qblocks = np.asarray(qblocks, dtype=np.int64)
+    by, bx = qblocks.shape[0], qblocks.shape[1]
+    h, w = by * 8, bx * 8
+    quant = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64
+    )
+    dc_tab = _HuffTable(*_K3_DC_LUMA)
+    ac_tab = _HuffTable(*_K3_AC_LUMA)
+
+    out = bytearray()
+    bitbuf = [0, 0]  # value, nbits
+
+    def put_bits(code: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bitbuf[0] = (bitbuf[0] << 1) | ((code >> i) & 1)
+            bitbuf[1] += 1
+            if bitbuf[1] == 8:
+                b = bitbuf[0] & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+                bitbuf[0] = bitbuf[1] = 0
+
+    def put_huff(tab: _HuffTable, sym: int) -> None:
+        n, code = tab.enc[sym]
+        put_bits(code, n)
+
+    def magnitude(v: int) -> tuple[int, int]:
+        n = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << n) - 1
+        return n, bits
+
+    def flush_pad() -> None:
+        if bitbuf[1]:
+            pad = 8 - bitbuf[1]
+            put_bits((1 << pad) - 1, pad)
+
+    pred = 0
+    mcu = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush_pad()
+                out.extend(bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
+                pred = 0
+            mcu += 1
+            zz = qblocks[yb, xb].reshape(64)[_ZIGZAG]
+            dc = int(zz[0])
+            n, bits = magnitude(dc - pred) if dc != pred else (0, 0)
+            pred = dc
+            put_huff(dc_tab, n)
+            if n:
+                put_bits(bits, n)
+            run = 0
+            last_nz = 0
+            nz = np.flatnonzero(zz[1:])
+            last_nz = (nz[-1] + 1) if len(nz) else 0
+            k = 1
+            while k <= last_nz:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    k += 1
+                    continue
+                while run > 15:
+                    put_huff(ac_tab, 0xF0)  # ZRL
+                    run -= 16
+                n, bits = magnitude(v)
+                put_huff(ac_tab, (run << 4) | n)
+                put_bits(bits, n)
+                run = 0
+                k += 1
+            if last_nz < 63:
+                put_huff(ac_tab, 0x00)  # EOB
+    flush_pad()  # pad final byte with 1s
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    # quant arrives in natural (row, col) order; DQT stores zigzag order
+    zz_quant = quant.reshape(64)[_ZIGZAG]
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_quant))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+    def dht(tc_th: int, bits_vals) -> bytes:
+        bits, vals = bits_vals
+        return seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht(0x00, _K3_DC_LUMA)
+        + dht(0x10, _K3_AC_LUMA) + dri + sos + bytes(out) + b"\xff\xd9"
+    )

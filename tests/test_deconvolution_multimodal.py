@@ -150,7 +150,7 @@ def test_decode_unknown_magic_raises():
     from combinedfeatureextraction_spark.multimodal.binary import _decode_real
 
     with _pytest.raises(NotImplementedError):
-        _decode_real(b"\xff\xd8\xff\xe0....JFIF", "image")  # JPEG: the seam
+        _decode_real(b"fLaC\x00\x00\x00\x22....", "audio")  # FLAC: the seam
 
 
 def test_decode_png_roundtrip_all_filters_and_channels():
