@@ -51,7 +51,7 @@ def main() -> None:
         "percent_rank", "topk",
         "glcm_stats", "component_stats", "watershed_split",
         "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
-        "media_decode", "media_decode_png", "polygon_edt",
+        "media_decode", "media_decode_png", "media_decode_jpeg", "polygon_edt",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
@@ -95,8 +95,9 @@ def main() -> None:
         q for q in headline
         if q not in ("polygon_components", "polygon_watershed",
                      "polygon_holes", "media_decode", "media_decode_png",
-                     "polygon_edt", "simhash_dedup", "stratified_sample",
-                     "pack_tokens", "rep_signals", "top_ngram")
+                     "media_decode_jpeg", "polygon_edt", "simhash_dedup",
+                     "stratified_sample", "pack_tokens", "rep_signals",
+                     "top_ngram")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3
