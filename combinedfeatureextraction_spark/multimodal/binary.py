@@ -9,14 +9,16 @@ decodes natively with zero external deps: binary netpbm (P5/P6),
 RIFF/WAVE PCM (8/16-bit), uncompressed 24-bit BMP (round 3), and —
 round 4 — 8-bit PNG via stdlib zlib inflate + per-scanline unfilter
 (all five filter types, CRC-verified, cross-checked byte-identical
-against Java ImageIO in both directions) plus BASELINE JPEG
-(``multimodal.jpeg``: Huffman entropy decode + dequantization
-bit-exact per T.81, float IDCT / fancy 4:2:0 upsampling / YCbCr pixel
-path pinned to ImageIO within the spec tolerance). Dispatch is by
+against Java ImageIO in both directions) plus baseline AND
+PROGRESSIVE JPEG (``multimodal.jpeg``: Huffman entropy decode +
+dequantization bit-exact per T.81 incl. the Annex-G multi-scan
+spectral-selection/successive-approximation machinery; float IDCT /
+fancy 4:2:0 upsampling / YCbCr pixel path pinned to ImageIO within the
+spec tolerance). Dispatch is by
 magic bytes, verified by round-trip tests plus the ``media_decode`` /
 ``media_decode_png`` / ``media_decode_jpeg`` analytic oracles. The
-remaining compressed formats (progressive JPEG/FLAC/MP4/…) still
-raise NotImplementedError at the same seam: those genuinely need
+remaining compressed formats (lossless/arithmetic JPEG, FLAC, MP4, …)
+still raise NotImplementedError at the same seam: those genuinely need
 cv2/PIL/librosa, which are not in this container. ``decode=fake``
 remains for byte-domain tests.
 
@@ -330,9 +332,9 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
 
         return decode_jpeg(payload)[0]
     raise NotImplementedError(
-        "compressed codec (progressive JPEG/FLAC/MP4/...) requires "
-        "cv2/PIL/librosa — netpbm/WAV-PCM/BMP/PNG/baseline-JPEG decode "
-        "natively here"
+        "compressed codec (lossless/arithmetic JPEG, FLAC, MP4, ...) "
+        "requires cv2/PIL/librosa — netpbm/WAV-PCM/BMP/PNG and "
+        "baseline+progressive JPEG decode natively here"
     )
 
 

@@ -7,11 +7,17 @@ every conforming decoder, while the inverse DCT is only specified to an
 accuracy bound (Annex A) — different decoders legitimately differ by
 ±1/pixel. This module follows that split:
 
- - :func:`decode_jpeg_coeffs` — markers (SOI/DQT/DHT/SOF0/SOS/EOI),
-   Huffman tables, byte-stuffing-aware bit reader, DC prediction, AC
-   run-length, dequantization → per-block coefficient arrays. EXACT, so
+ - :func:`decode_jpeg_coeffs` — markers, Huffman tables, byte-stuffing
+   bit reader, DC prediction, AC run-length, dequantization → per-block
+   coefficient arrays, for sequential (SOF0/SOF1) AND PROGRESSIVE
+   (SOF2) streams: the multi-scan engine handles spectral selection,
+   successive approximation (DC first/refine, AC band first/refine with
+   EOB runs and correction bits — T.81 Annex G) with sequential falling
+   out as the Ss=0/Se=63/Ah=Al=0 special case. EXACT, so
    coefficient-domain features are externally oracle-able
-   (the ``media_decode_jpeg`` analytic oracle).
+   (the ``media_decode_jpeg`` analytic oracle), and a progressive and a
+   baseline encoding of the same image decode to BIT-IDENTICAL
+   coefficients (pinned vs ImageIO-written pairs in tests).
  - :func:`decode_jpeg` — adds the float IDCT + level shift + clamp for
    pixel output; pinned against Java ImageIO within the spec's ±1
    tolerance (tests), exact-dimension parity.
@@ -20,11 +26,10 @@ accuracy bound (Annex A) — different decoders legitimately differ by
    using the Annex K.3 typical Huffman tables, so planted-coefficient
    fixtures have closed-form decoded values.
 
-Supported: baseline sequential DCT (SOF0), 8-bit, grayscale (1
-component) and YCbCr 4:4:4 / 4:2:0 (3 components) decode, restart
-markers. Progressive (SOF2), arithmetic coding and 12-bit raise
-NotImplementedError — the seam narrows to progressive-JPEG/FLAC/MP4.
-Reference analog: the slide-payload decode path S2
+Supported: baseline + progressive Huffman DCT, 8-bit, grayscale and
+YCbCr 4:4:4 / 4:2:0 decode, restart markers. Lossless/arithmetic/12-bit
+JPEG raise NotImplementedError — the codec seam narrows to those plus
+FLAC/MP4. Reference analog: the slide-payload decode path S2
 (FeatureExtractor.py:300).
 """
 
@@ -149,40 +154,158 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
-def _parse_segments(payload: bytes):
-    """Yield (marker, segment_bytes, segment_start) up to SOS; return
-    (segments dict-ish handled by caller)."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
-    pos = 2
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("JPEG marker sync lost")
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
+class _ScanState:
+    """Mutable per-image entropy-decode state shared across scans:
+    per-component zigzag-order coefficient stores (progressive scans
+    successively refine them), DC predictors, and the AC end-of-band
+    run counter."""
+
+    def __init__(self, comps, mcus_x, mcus_y):
+        self.zz = {
+            idx: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+            for idx, (_, hs, vs, _) in enumerate(comps)
+        }
+        self.pred = {idx: 0 for idx in range(len(comps))}
+        self.eobrun = 0
+
+    def reset_restart(self):
+        self.pred = {idx: 0 for idx in self.pred}
+        self.eobrun = 0
+
+
+def _decode_block(
+    zz_blk, reader, state, idx, dc_tab, ac_tab, ss, se, ah, al
+):
+    """Decode one data unit's contribution for the scan band Ss..Se at
+    approximation (Ah, Al) — T.81 F.2 (sequential falls out as
+    Ss=0/Se=63/Ah=Al=0) and G.1.2 (progressive DC/AC first + refine)."""
+    if ss == 0:
+        if ah == 0:  # DC first (or sequential)
+            t = dc_tab.decode(reader)
+            if t > 11:
+                raise ValueError("bad DC category")
+            state.pred[idx] += _extend(reader.receive(t), t)
+            zz_blk[0] = state.pred[idx] << al
+        else:  # DC refinement: one raw bit
+            if reader.bit():
+                zz_blk[0] |= 1 << al
+        k = 1
+    else:
+        k = ss
+    if se < max(ss, 1):
+        return
+    if ah == 0:  # AC first pass (or sequential)
+        if state.eobrun > 0:
+            state.eobrun -= 1
             return
-        size = int.from_bytes(payload[pos + 2 : pos + 4], "big")
-        body = payload[pos + 4 : pos + 2 + size]
-        yield marker, body, pos + 2 + size
-        if marker == 0xDA:  # SOS — entropy data follows
-            return
-        pos += 2 + size
+        while k <= se:
+            rs = ac_tab.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state.eobrun = (1 << r) - 1 + reader.receive(r)
+                break  # EOB(RUN) — counts this block
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            zz_blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+    else:  # AC refinement (G.1.2.3)
+        p1, m1 = 1 << al, -1 << al
+        if state.eobrun == 0:
+            while k <= se:
+                rs = ac_tab.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        # NOT pre-decremented: the EOB-run branch below
+                        # must still consume THIS block's correction
+                        # bits before counting it off
+                        state.eobrun = (1 << r) + reader.receive(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    val = p1 if reader.bit() else m1
+                # advance r zero-history positions, emitting correction
+                # bits for nonzero-history positions passed on the way
+                while k <= se:
+                    if zz_blk[k] != 0:
+                        if reader.bit() and (zz_blk[k] & p1) == 0:
+                            zz_blk[k] += p1 if zz_blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz_blk[k] = val
+                k += 1
+        if state.eobrun > 0:
+            while k <= se:  # EOB run covers this block: corrections only
+                if zz_blk[k] != 0:
+                    if reader.bit() and (zz_blk[k] & p1) == 0:
+                        zz_blk[k] += p1 if zz_blk[k] >= 0 else m1
+                k += 1
+            state.eobrun -= 1
+
+
+def _expect_restart(reader, state):
+    """Consume pad bits up to the RSTn marker and reset predictors."""
+    try:
+        while True:
+            reader.bit()
+    except _RestartMarker:
+        reader.skip_restart_marker()
+        state.reset_restart()
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips entropy
+    bytes, stuffed 0xFF00 and RSTn)."""
+    while pos + 1 < len(payload):
+        if (
+            payload[pos] == 0xFF
+            and payload[pos + 1] != 0x00
+            and not (0xD0 <= payload[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated: no trailing marker")
 
 
 def decode_jpeg_coeffs(payload: bytes):
-    """EXACT half of JPEG decode: entropy-decode + dequantize the full
-    scan. Returns (coeffs, meta): ``coeffs`` maps component index →
-    float64 array (blocks_v, blocks_h, 8, 8) of DEQUANTIZED DCT
-    coefficients in natural (row, col) order; ``meta`` is a dict with
-    width/height/components/sampling."""
+    """EXACT half of JPEG decode: entropy-decode + dequantize every
+    scan — baseline sequential (SOF0/SOF1) in one scan, PROGRESSIVE
+    (SOF2) across its spectral-selection / successive-approximation
+    scan sequence (T.81 Annex G: DC first+refine, per-component AC
+    bands with EOB runs, AC refinement correction bits). Returns
+    (coeffs, meta): ``coeffs`` maps component index → float64 array
+    (blocks_v, blocks_h, 8, 8) of DEQUANTIZED DCT coefficients in
+    natural (row, col) order; ``meta`` has width/height/components/
+    sampling/progressive."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
     dqt: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _HuffTable] = {}
     ac_tabs: dict[int, _HuffTable] = {}
     sof = None
-    sos = None
+    progressive = False
     restart_interval = 0
-    data_start = None
-    for marker, body, seg_end in _parse_segments(payload):
+    state = None
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + size]
+        seg_end = pos + 2 + size
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(body):
@@ -203,96 +326,101 @@ def decode_jpeg_coeffs(payload: bytes):
                 values = list(body[p + 17 : p + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(bits, values)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
-            prec = body[0]
-            if prec != 8:
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            if body[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
             comps = []
-            for c in range(ncomp):
+            for c in range(body[5]):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            state = _ScanState(comps, mcus_x, mcus_y)
+            comp_by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG supported"
+                "only baseline/progressive Huffman JPEG supported "
+                "(lossless/arithmetic variants are not)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode one scan's entropy data
+            if sof is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scomp = []
-            for c in range(ns):
-                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scomp.append((cs, tt >> 4, tt & 0xF))
-            sos = scomp
-            data_start = seg_end
-    if sof is None or sos is None or data_start is None:
-        raise ValueError("missing SOF0/SOS")
-    w, h, comps = sof
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # per-component block grids
-    grids = {}
-    for idx, (cid, hs, vs, tq) in enumerate(comps):
-        grids[idx] = np.zeros((mcus_y * vs, mcus_x * hs, 8, 8))
-    comp_by_id = {cid: idx for idx, (cid, _, _, _) in enumerate(comps)}
-    reader = _BitReader(payload, data_start)
-    pred = {idx: 0 for idx in range(len(comps))}
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                # expect an RSTn here
-                try:
-                    while True:
-                        reader.bit()
-                except _RestartMarker:
-                    reader.skip_restart_marker()
-                    pred = {idx: 0 for idx in pred}
-            for cs, td, ta in sos:
-                idx = comp_by_id[cs]
-                _, hs, vs, tq = comps[idx]
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = np.zeros(64)
-                        t = dc_tabs[td].decode(reader)
-                        if t > 11:
-                            raise ValueError("bad DC category")
-                        diff = _extend(reader.receive(t), t)
-                        pred[idx] += diff
-                        blk[0] = pred[idx]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tabs[ta].decode(reader)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            blk[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        nat = np.zeros(64)
-                        nat[_ZIGZAG] = blk
-                        grids[idx][my * vs + by, mx * hs + bx] = (
-                            nat.reshape(8, 8) * dqt[tq]
+            scomp = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
+                for c in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            reader = _BitReader(payload, seg_end)
+            state.eobrun = 0
+            state.pred = {i: 0 for i in state.pred}
+            if ns > 1:  # interleaved: MCU order over the padded grid
+                mcu = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if (restart_interval and mcu
+                                and mcu % restart_interval == 0):
+                            _expect_restart(reader, state)
+                        for cs, td, ta in scomp:
+                            i = comp_by_id[cs]
+                            _, hs, vs, _ = comps[i]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    _decode_block(
+                                        state.zz[i][my * vs + by, mx * hs + bx],
+                                        reader, state, i,
+                                        dc_tabs.get(td), ac_tabs.get(ta),
+                                        ss, se, ah, al,
+                                    )
+                        mcu += 1
+            else:  # non-interleaved: the component's own unpadded grid
+                cs, td, ta = scomp[0]
+                i = comp_by_id[cs]
+                _, hs, vs, _ = comps[i]
+                cw = -(-(w * hs) // hmax)  # component pixel dims (T.81 A.1.1)
+                ch = -(-(h * vs) // vmax)
+                bw, bh = -(-cw // 8), -(-ch // 8)
+                unit = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        if (restart_interval and unit
+                                and unit % restart_interval == 0):
+                            _expect_restart(reader, state)
+                        _decode_block(
+                            state.zz[i][by, bx], reader, state, i,
+                            dc_tabs.get(td), ac_tabs.get(ta), ss, se, ah, al,
                         )
-            mcu += 1
+                        unit += 1
+            pos = _next_marker(payload, reader.pos)
+            continue
+        pos = seg_end
+    if sof is None or state is None:
+        raise ValueError("missing SOF/SOS")
+    w, h, comps = sof
+    grids = {}
+    for i, (cid, hs, vs, tq) in enumerate(comps):
+        zz = state.zz[i].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz
+        grids[i] = nat.reshape(*zz.shape[:2], 8, 8) * dqt[tq]
     meta = {
         "width": w,
         "height": h,
         "n_components": len(comps),
         "sampling": [(c[1], c[2]) for c in comps],
         "mcus": (mcus_x, mcus_y),
+        "progressive": progressive,
     }
     return grids, meta
 

@@ -27,8 +27,9 @@ _DUMP_JAVA = (
 )
 
 _MAKE_JAVA = (
-    "import javax.imageio.ImageIO;\n"
+    "import javax.imageio.*;\nimport javax.imageio.stream.*;\n"
     "import java.awt.image.*;\nimport java.io.File;\n"
+    "import java.util.Iterator;\n"
     "public class JpegMake {\n"
     "  public static void main(String[] a) throws Exception {\n"
     "    int w=37,h=29;\n"
@@ -40,7 +41,17 @@ _MAKE_JAVA = (
     "    for (int y=0;y<h;y++) for (int x=0;x<w;x++)\n"
     "      c.setRGB(x,y,(((x*7+y*13)%256)<<16)|(((x*3+y*31)%256)<<8)"
     "|((x*17+y*5)%256));\n"
-    "    ImageIO.write(c,\"jpg\",new File(\"jc.jpg\")); } }\n"
+    "    ImageIO.write(c,\"jpg\",new File(\"jc.jpg\"));\n"
+    "    ImageWriter wr = ImageIO.getImageWritersByFormatName(\"jpg\").next();\n"
+    "    ImageWriteParam p = wr.getDefaultWriteParam();\n"
+    "    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);\n"
+    "    Object[][] jobs = {{g, \"pg.jpg\"}, {c, \"pc.jpg\"}};\n"
+    "    for (Object[] j : jobs) {\n"
+    "      ImageOutputStream os = ImageIO.createImageOutputStream("
+    "new File((String)j[1]));\n"
+    "      wr.setOutput(os);\n"
+    "      wr.write(null, new IIOImage((BufferedImage)j[0], null, null), p);\n"
+    "      os.close(); } } }\n"
 )
 
 
@@ -96,7 +107,7 @@ def test_quant_table_applies():
     assert grids[0][0, 0, 1, 2] == -6.0  # -3 * 2
 
 
-def test_progressive_raises():
+def test_lossless_and_arithmetic_raise():
     from combinedfeatureextraction_spark.multimodal.jpeg import (
         decode_jpeg_coeffs,
         encode_jpeg_gray_numpy,
@@ -104,9 +115,10 @@ def test_progressive_raises():
 
     payload = bytearray(encode_jpeg_gray_numpy(np.zeros((1, 1, 8, 8))))
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg_coeffs(bytes(payload))
+    for sof in (0xC3, 0xC9):  # lossless / arithmetic-coded
+        payload[i + 1] = sof
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            decode_jpeg_coeffs(bytes(payload))
 
 
 def test_jpeg_pixel_parity_vs_imageio(tmp_path):
@@ -149,13 +161,32 @@ def test_jpeg_pixel_parity_vs_imageio(tmp_path):
     assert np.abs(theirs[:, :, 0] - flat.reshape(h, w)).max() <= 1.0
 
     subprocess.run(["java", "-cp", ".", "JpegMake"], cwd=tmp_path, check=True)
-    for name, maxdiff in (("jg.jpg", 1.0), ("jc.jpg", 3.0)):
+    for name, maxdiff in (
+        ("jg.jpg", 1.0), ("jc.jpg", 3.0),  # baseline sequential
+        ("pg.jpg", 1.0), ("pc.jpg", 3.0),  # PROGRESSIVE (SOF2)
+    ):
         data = (tmp_path / name).read_bytes()
         flat, w, h, ch = decode_jpeg(data)
         theirs = java_dump(name)
         assert (theirs.shape[1], theirs.shape[0], theirs.shape[2]) == (w, h, ch)
         d = np.abs(theirs - flat.reshape(h, w, ch))
         assert d.max() <= maxdiff, (name, d.max())
+
+    # the strongest progressive check: ImageIO encodes the SAME image
+    # baseline and progressive with the same quantization, so the
+    # dequantized coefficients must round-trip BIT-IDENTICALLY through
+    # our two entropy-decode paths (sequential vs the multi-scan
+    # spectral-selection / successive-approximation machinery).
+    from combinedfeatureextraction_spark.multimodal.jpeg import (
+        decode_jpeg_coeffs,
+    )
+
+    for base, prog in (("jg.jpg", "pg.jpg"), ("jc.jpg", "pc.jpg")):
+        gb, mb = decode_jpeg_coeffs((tmp_path / base).read_bytes())
+        gp, mp = decode_jpeg_coeffs((tmp_path / prog).read_bytes())
+        assert not mb["progressive"] and mp["progressive"]
+        for i in gb:
+            assert np.array_equal(gb[i], gp[i]), (base, prog, i)
 
 
 def test_decode_real_dispatches_jpeg():
