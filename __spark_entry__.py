@@ -1350,9 +1350,13 @@ def q_media_decode_jpeg(spark, sf_dir):
     unstuffing, canonical Huffman, EXTEND, dequant). The DuckDB dual
     recomputes dc_sum / ac_abs_sum from the same arithmetic; a
     table-construction, bit-order, predictor or run-length bug breaks
-    the hash. The pixel half (float IDCT + fancy 4:2:0 upsampling +
-    YCbCr) is pinned against Java ImageIO within the spec tolerance in
-    tests/test_jpeg.py; n_samples here proves it executes. Ref analog:
+    the hash. The PROGRESSIVE (SOF2) path is gated too: the rig
+    re-encodes the same coefficients as a spectral-selection stream and
+    the oracled prog_coeff_match boolean asserts the multi-scan decoder
+    reproduces them bit-identically. The pixel half (float IDCT + fancy
+    4:2:0 upsampling + YCbCr) is pinned against Java ImageIO within the
+    spec tolerance in tests/test_jpeg.py (incl. ImageIO-written
+    progressive files); n_samples here proves it executes. Ref analog:
     slide-payload decode S2 (FeatureExtractor.py:300)."""
     from pyspark.sql import types as T
 
@@ -1387,14 +1391,25 @@ def q_media_decode_jpeg(spark, sf_dir):
                 dc_sum = int(c[:, :, 0, 0].sum())
                 ac_abs = int(np.abs(c).sum() - np.abs(c[:, :, 0, 0]).sum())
                 flat, w, h, ch = decode_jpeg(payload)
+                # the SAME coefficients as a PROGRESSIVE (SOF2) stream:
+                # the multi-scan decode path must reproduce them
+                # bit-identically (gated via the oracled boolean)
+                pgrids, pmeta = decode_jpeg_coeffs(
+                    encode_jpeg_gray_numpy(q, progressive=True)
+                )
+                prog_match = bool(
+                    pmeta["progressive"] and np.array_equal(pgrids[0], c)
+                )
                 rows.append(
                     (v, meta["width"], meta["height"],
-                     c.shape[0] * c.shape[1], dc_sum, ac_abs, len(flat))
+                     c.shape[0] * c.shape[1], dc_sum, ac_abs, len(flat),
+                     prog_match)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "n_blocks",
-                         "dc_sum", "ac_abs_sum", "n_samples"],
+                         "dc_sum", "ac_abs_sum", "n_samples",
+                         "prog_coeff_match"],
             )
 
     return emb.mapInPandas(
@@ -1407,6 +1422,7 @@ def q_media_decode_jpeg(spark, sf_dir):
             T.StructField("dc_sum", T.LongType(), False),
             T.StructField("ac_abs_sum", T.LongType(), False),
             T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("prog_coeff_match", T.BooleanType(), False),
         ]),
     )
 
@@ -2050,7 +2066,8 @@ SELECT vec_id AS media_id,
   CAST(6 AS INT) AS n_blocks,
   CAST(dcs AS BIGINT) AS dc_sum,
   CAST(acs AS BIGINT) AS ac_abs_sum,
-  CAST(384 AS INT) AS n_samples
+  CAST(384 AS INT) AS n_samples,
+  TRUE AS prog_coeff_match
 FROM b
 """,
         # polygon_holes: analytic dual — axis-aligned integer rectangles

@@ -493,15 +493,21 @@ def encode_jpeg_gray_numpy(
     qblocks: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Test-rig ENCODER: a valid baseline grayscale JPEG whose entropy
-    data encodes exactly the given QUANTIZED coefficient blocks
-    (``qblocks``: int array (by, bx, 8, 8) in natural order), using the
-    Annex K.3 typical Huffman tables and ``quant`` (8x8, default all
-    ones so dequantized == planted). Lets fixtures plant coefficients
-    whose decoded values are closed-form — the media_decode_jpeg oracle.
-    """
+    """Test-rig ENCODER: a valid grayscale JPEG whose entropy data
+    encodes exactly the given QUANTIZED coefficient blocks (``qblocks``:
+    int array (by, bx, 8, 8) in natural order), using the Annex K.3
+    typical Huffman tables and ``quant`` (8x8, default all ones so
+    dequantized == planted). Lets fixtures plant coefficients whose
+    decoded values are closed-form — the media_decode_jpeg oracle.
+    ``progressive=True`` emits the SAME coefficients as a minimal SOF2
+    spectral-selection stream (scan 1: DC band; scan 2: AC band 1..63)
+    so the multi-scan decode path can be gated against the identical
+    planted values."""
     qblocks = np.asarray(qblocks, dtype=np.int64)
+    if progressive and restart_interval:
+        raise ValueError("rig encoder: pick progressive OR restart_interval")
     by, bx = qblocks.shape[0], qblocks.shape[1]
     h, w = by * 8, bx * 8
     quant = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
@@ -538,44 +544,69 @@ def encode_jpeg_gray_numpy(
             pad = 8 - bitbuf[1]
             put_bits((1 << pad) - 1, pad)
 
-    pred = 0
-    mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
+    def enc_dc(zz, pred: int) -> int:
+        dc = int(zz[0])
+        n, bits = magnitude(dc - pred) if dc != pred else (0, 0)
+        put_huff(dc_tab, n)
+        if n:
+            put_bits(bits, n)
+        return dc
+
+    def enc_ac(zz) -> None:
+        nz = np.flatnonzero(zz[1:])
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        run, k = 0, 1
+        while k <= last_nz:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                put_huff(ac_tab, 0xF0)  # ZRL
+                run -= 16
+            n, bits = magnitude(v)
+            put_huff(ac_tab, (run << 4) | n)
+            put_bits(bits, n)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            # EOB — in a progressive AC-first scan this is EOBRUN=1,
+            # i.e. exactly "end this block": same bits, same meaning
+            put_huff(ac_tab, 0x00)
+
+    zzs = [
+        qblocks[yb, xb].reshape(64)[_ZIGZAG]
+        for yb in range(by)
+        for xb in range(bx)
+    ]
+    sections = []
+    if progressive:
+        pred = 0
+        for zz in zzs:  # scan 1: DC band only
+            pred = enc_dc(zz, pred)
+        flush_pad()
+        sections.append(bytes(out))
+        out.clear()
+        for zz in zzs:  # scan 2: AC band 1..63
+            enc_ac(zz)
+        flush_pad()
+        sections.append(bytes(out))
+    else:
+        pred = 0
+        mcu = 0
+        for zz in zzs:
             if restart_interval and mcu and mcu % restart_interval == 0:
                 flush_pad()
-                out.extend(bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
+                out.extend(
+                    bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                )
                 pred = 0
             mcu += 1
-            zz = qblocks[yb, xb].reshape(64)[_ZIGZAG]
-            dc = int(zz[0])
-            n, bits = magnitude(dc - pred) if dc != pred else (0, 0)
-            pred = dc
-            put_huff(dc_tab, n)
-            if n:
-                put_bits(bits, n)
-            run = 0
-            last_nz = 0
-            nz = np.flatnonzero(zz[1:])
-            last_nz = (nz[-1] + 1) if len(nz) else 0
-            k = 1
-            while k <= last_nz:
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    put_huff(ac_tab, 0xF0)  # ZRL
-                    run -= 16
-                n, bits = magnitude(v)
-                put_huff(ac_tab, (run << 4) | n)
-                put_bits(bits, n)
-                run = 0
-                k += 1
-            if last_nz < 63:
-                put_huff(ac_tab, 0x00)  # EOB
-    flush_pad()  # pad final byte with 1s
+            pred = enc_dc(zz, pred)
+            enc_ac(zz)
+        flush_pad()
+        sections.append(bytes(out))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -583,18 +614,27 @@ def encode_jpeg_gray_numpy(
     # quant arrives in natural (row, col) order; DQT stores zigzag order
     zz_quant = quant.reshape(64)[_ZIGZAG]
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_quant))
-    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-              + bytes([1, 1, 0x11, 0]))
+    sof = seg(
+        0xC2 if progressive else 0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
     def dht(tc_th: int, bits_vals) -> bytes:
         bits, vals = bits_vals
         return seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     dri = (
         seg(0xDD, restart_interval.to_bytes(2, "big"))
         if restart_interval
         else b""
     )
+    if progressive:
+        scans = (
+            seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + sections[0]
+            + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + sections[1]
+        )
+    else:
+        scans = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + sections[0]
     return (
         b"\xff\xd8" + dqt + sof + dht(0x00, _K3_DC_LUMA)
-        + dht(0x10, _K3_AC_LUMA) + dri + sos + bytes(out) + b"\xff\xd9"
+        + dht(0x10, _K3_AC_LUMA) + dri + scans + b"\xff\xd9"
     )
