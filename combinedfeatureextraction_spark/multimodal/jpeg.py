@@ -300,6 +300,13 @@ def decode_jpeg_coeffs(payload: bytes):
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them instead of misparsing 0xFF as a marker id
+        # with a bogus segment length
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -500,11 +500,14 @@ def reconstruct_grayscale_numpy(
     marker: np.ndarray, mask: np.ndarray, connectivity: int = 8
 ) -> np.ndarray:
     """GRAYSCALE morphological reconstruction by dilation: the fixpoint
-    of ``marker = min(dilate1(marker), mask)`` — the full contract of
-    the reference's ``imreconstruct`` (extract_ffpe_features.py:6-22,
-    iterated cv2.dilate + cv2.min), which is written grayscale even
-    though every reference call site passes binary masks
-    (process_mc_features.py:95). Each iteration is one vectorized
+    of ``marker = min(dilate1(marker), mask)`` — the standard grayscale
+    definition. The reference's ``imreconstruct``
+    (extract_ffpe_features.py:6-22) iterates cv2.dilate + cv2.bitwise_and,
+    which equals min ONLY for binary masks — and every reference call
+    site passes binary masks (process_mc_features.py:95), so this
+    min-based version matches the reference exactly on its call sites
+    while also being well-defined (and standard) on genuinely grayscale
+    inputs, where bitwise_and would not be. Each iteration is one vectorized
     numpy unit dilation (shifted maxima) + clip; iteration count is
     bounded by the longest geodesic propagation path, the same bound
     the reference's loop has. Binary inputs reduce exactly to

@@ -111,11 +111,12 @@ _GRID_MAX_BUILD = 500_000  # build rows beyond this → fall back to union
 _GRID_MAX_CELLS = 1 << 22  # dense (key × bucket) grid cap (~4M rows)
 _BCAST_MAX_BUILD = 2_000_000  # broadcast history rollup cap
 
-# size-guard results keyed by build DataFrame identity: a static dim
-# table probed by many plan constructions (e.g. a stream restarted, or
-# repeated enrich construction) must cost ONE count job, not one per
-# construction. The build side is static by the dim-table contract;
-# callers mutating it must pass a fresh DataFrame.
+# negative size-guard verdicts keyed by build DataFrame identity: a
+# too-large build side probed by many plan constructions (e.g. a stream
+# restarted, or repeated enrich construction) must not re-pull cap+1
+# rows per construction. Only the NEGATIVE verdict is cached — an
+# under-cap build is pulled anyway (the pull IS the grid input), so a
+# positive cache would only save work a stale-append bug could exploit.
 import weakref as _weakref
 
 _GRID_GUARD_CACHE: "_weakref.WeakKeyDictionary[DataFrame, bool]" = (
@@ -124,6 +125,14 @@ _GRID_GUARD_CACHE: "_weakref.WeakKeyDictionary[DataFrame, bool]" = (
 
 
 def _fits_grid_cap(build: DataFrame) -> bool:
+    """Cheap standalone over-cap check (one short-circuiting count job).
+
+    Used by callers that must reject a fat build side BEFORE any plan
+    construction (streaming enrich, where the documented error beats the
+    grid's generic fallback message). ``_asof_grid`` itself no longer
+    pre-counts — it folds the cap check into a bounded ``limit(cap+1)``
+    pull (one driver job instead of two per cold construction).
+    """
     try:
         return _GRID_GUARD_CACHE[build]
     except (KeyError, TypeError):
@@ -177,29 +186,32 @@ def _asof_grid(
             allow_exact_matches, tolerance_seconds, salt=1,
         )
 
-    # size guard BEFORE toPandas: a misused non-dim build side must get the
-    # shuffle plan, not a driver OOM. limit(n+1).count() short-circuits,
-    # and the verdict is cached per build DataFrame (_fits_grid_cap).
-    if not _fits_grid_cap(build):
-        return fallback(f"more than {_GRID_MAX_BUILD} build rows")
+    # size guard FOLDED INTO the pull (r04-verdict item 4): a known-fat
+    # build (cached negative verdict) short-circuits without any job;
+    # otherwise ONE bounded limit(cap+1) pull both fetches the grid input
+    # and proves the cap — cap+1 rows in the result demonstrates overflow
+    # without ever materializing the whole table on the driver, so a
+    # misused non-dim build side costs at most cap+1 rows of driver
+    # memory before it gets the shuffle plan.
+    try:
+        if _GRID_GUARD_CACHE.get(build) is False:
+            return fallback(f"more than {_GRID_MAX_BUILD} build rows")
+    except TypeError:  # unweakrefable wrapper — no cache, just pull
+        pass
     pdf = (
         # epoch seconds computed SPARK-side: pandas datetime64 unit (ns vs
         # µs) would silently shift the grid otherwise
         build.select(*keys, epoch_seconds(build_ts).alias("_ts"), *values)
+        .limit(_GRID_MAX_BUILD + 1)
         .toPandas()
-        .sort_values("_ts", kind="mergesort")
     )
-    # re-validate AFTER the pull: the guard verdict is cached per build
-    # DataFrame object, but a DataFrame re-reads its source per action —
-    # a dim table whose backing files were appended since the cached
-    # verdict would otherwise ride a stale under-cap answer into the
-    # driver-memory path the guard exists to protect.
     if len(pdf) > _GRID_MAX_BUILD:
-        _GRID_GUARD_CACHE.pop(build, None)
-        return fallback(
-            f"build grew to {len(pdf)} rows (> {_GRID_MAX_BUILD}) after a "
-            "stale cached size verdict"
-        )
+        try:
+            _GRID_GUARD_CACHE[build] = False
+        except TypeError:
+            pass
+        return fallback(f"more than {_GRID_MAX_BUILD} build rows")
+    pdf = pdf.sort_values("_ts", kind="mergesort")
     if pdf.empty:
         out = probe
         for v in values:

@@ -119,7 +119,18 @@ def ngram_jaccard_pairs(
     ``block_col`` (e.g. source / length bucket) bounds the self-join; use
     minhash_lsh_dedup for corpus scale. A block larger than ``max_block``
     rows raises (see _guard_exact_block) rather than silently running an
-    O(n²) join. Output: (id_a, id_b, jaccard_sim), id_a < id_b."""
+    O(n²) join. NOTE: with ``max_block`` set (the default), construction
+    is EAGER — the guard runs one Spark count job at call time, so this
+    function is not a purely lazy plan builder; streaming inputs are
+    rejected with a clear error (pass max_block=None only for bounded
+    batch inputs you control). Output: (id_a, id_b, jaccard_sim),
+    id_a < id_b."""
+    if df.isStreaming:
+        raise ValueError(
+            "ngram_jaccard_pairs: streaming input unsupported (the exact "
+            "quadratic tier needs a bounded batch block; use "
+            "streaming.exact dedup or minhash_lsh_dedup on batch slices)"
+        )
     # shingling runs once (checkpoint), and the checkpoint is spread over
     # the full partition budget FIRST — a single-file scan would otherwise
     # checkpoint as ONE partition and serialize the quadratic pair work
@@ -689,7 +700,16 @@ def embedding_near_dup_pairs(
     """Cosine ≥ threshold pairs (id_a, id_b, cos_sim). Exact within a block;
     LSH-bucketed variant in operators.similarity for corpus scale. A block
     larger than ``max_block`` rows raises (see _guard_exact_block) rather
-    than silently running an O(n²) join."""
+    than silently running an O(n²) join. NOTE: with ``max_block`` set
+    (the default), construction is EAGER — the guard runs one Spark count
+    job at call time, so this function is not a purely lazy plan builder;
+    streaming inputs are rejected with a clear error."""
+    if df.isStreaming:
+        raise ValueError(
+            "embedding_near_dup_pairs: streaming input unsupported (the "
+            "exact quadratic tier needs a bounded batch block; use "
+            "similarity.lsh_topk on batch slices)"
+        )
     from combinedfeatureextraction_spark.functions.arrays import cosine
 
     cols = [F.col(id_col), F.col(vec_col)] + (

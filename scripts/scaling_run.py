@@ -336,9 +336,15 @@ def run_all() -> None:
             "local32_boundaries": results[32].get(
                 "loadavg_1m_at_rep_boundaries"
             ),
+            # explicit None check: `or 99` would coerce a legitimate 0.0
+            # loadavg (fully idle machine) to 99 and mislabel the window
             "quiet": max(
                 load_pre_attempt,
-                results[8].get("loadavg_1m_pre_session") or 99,
+                (
+                    99.0
+                    if results[8].get("loadavg_1m_pre_session") is None
+                    else results[8]["loadavg_1m_pre_session"]
+                ),
                 load_post_attempt,
             )
             <= 4.0,
