@@ -7,12 +7,19 @@ past the driver's stdout capture buffer, leaving BENCH_r0{2,3}.json with
 efficiencies stay on stdout, everything else goes to
 .fixtures/bench_full.json):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "scaling": {...summary}}
+   "queries": {name: sec, ...}, "sf": ..., "load_gate": {...},
+   "scaling": {...summary}}
 
 Each query is materialized with a noop write (full execution, no driver
-collect). The flagship feature-materialization throughput (rows/sec over
-the events point-in-time pipeline) is reported alongside, since BASELINE
-targets sequences/sec. Run scripts/scaling_run.py for the N-vs-4N-cores
+collect). Timing is POOLED MINIMA across two measurement windows with a
+loadavg gate (r04-verdict item 1): the sandbox host has ±50%
+minute-scale co-tenant noise, so per-query wall = min over 3 reps split
+across two windows separated by a settle pause, and the JSON line
+carries settled co-tenant loadavg samples plus a quiet verdict so the
+driver's BENCH row is self-certifying about contention. The flagship
+feature-materialization throughput (rows/sec over the events
+point-in-time pipeline) is reported alongside, since BASELINE targets
+sequences/sec. Run scripts/scaling_run.py for the N-vs-4N-cores
 scaling-efficiency evidence (results recorded in BASELINE.md / BENCH).
 """
 
@@ -38,6 +45,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from combinedfeatureextraction_spark.session import get_spark
 
+    # co-tenant signal BEFORE any of our own load exists (r04-verdict
+    # item 1: the suite must be self-certifying about contention — r04's
+    # un-gated window showed a uniform ~1.6× inflation on unchanged code
+    # that only scaling_run.py's gate could contradict)
+    load_pre = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="cfe_bench", cpus=CPUS, shuffle_partitions=CPUS)
 
     qs = entrymod.queries()
@@ -61,31 +73,67 @@ def main() -> None:
     # warm the JVM/parquet footer caches once with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
-    # two reps per query: rep0 (cold — includes plan build/codegen/JIT,
-    # comparable to earlier single-shot rounds) and the best (steady-state
-    # throughput, the number that matters at scale where plans amortize).
-    timings: dict[str, float] = {}
-    timings_cold: dict[str, float] = {}
-    for name in headline:
-        walls = []
-        for _ in range(2):
-            t0 = time.time()
-            materialize(qs[name](spark, SF_DIR))
-            walls.append(time.time() - t0)
-        timings_cold[name] = round(walls[0], 3)
-        timings[name] = round(min(walls), 3)
-
-    # flagship throughput: full point-in-time feature vector over events
+    # Pooled-minima over TWO measurement windows (r04-verdict item 1,
+    # ported from scripts/scaling_run.py): window A runs 2 reps per query
+    # (rep0 = cold, kept separately), then the process idles long enough
+    # for our own 1-min loadavg to decay (e^-2.5 at the default 150 s), a
+    # settled co-tenant sample is taken, and window B runs 1 warm rep per
+    # query. Per-query wall = min across all reps of both windows; the
+    # host's ±50% minute-scale noise (CLAUDE.md) rarely spans both
+    # windows, so the pooled minimum is a far better steady-state
+    # estimator than best-of-2 in one window. Per-query boundary loadavg
+    # is recorded (labeled, not gated — it carries our own load); the
+    # quiet verdict gates on the settled samples only.
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     n_rows = ev.count()
-    fw = []
-    for _ in range(2):
-        t0 = time.time()
-        materialize(_flagship(entrymod, spark, SF_DIR))
-        fw.append(time.time() - t0)
-    flagship_sec = min(fw)
-    timings_cold["flagship_pipeline"] = round(fw[0], 3)
-    timings["flagship_pipeline"] = round(flagship_sec, 3)
+    settle_s = int(os.environ.get("CFE_BENCH_SETTLE", "150"))
+
+    timings_cold: dict[str, float] = {}
+    window_walls: dict[str, list[float]] = {}
+    boundary_loads: dict[str, list[float]] = {"A": [], "B": []}
+
+    def run_window(label: str, reps: int) -> None:
+        for name in headline + ["flagship_pipeline"]:
+            boundary_loads[label].append(round(os.getloadavg()[0], 2))
+            for rep in range(reps):
+                t0 = time.time()
+                if name == "flagship_pipeline":
+                    materialize(_flagship(entrymod, spark, SF_DIR))
+                else:
+                    materialize(qs[name](spark, SF_DIR))
+                wall = time.time() - t0
+                window_walls.setdefault(name, []).append(wall)
+                if label == "A" and rep == 0:
+                    timings_cold[name] = round(wall, 3)
+        boundary_loads[label].append(round(os.getloadavg()[0], 2))
+
+    run_window("A", reps=2)
+    time.sleep(settle_s)
+    load_mid_settled = round(os.getloadavg()[0], 2)
+    run_window("B", reps=1)
+
+    timings = {
+        name: round(min(walls), 3) for name, walls in window_walls.items()
+    }
+    flagship_sec = timings["flagship_pipeline"]
+    # which window supplied each minimum — if contention hit exactly one
+    # window, the minima should cluster in the other one
+    min_window = {
+        name: ("A" if walls.index(min(walls)) < 2 else "B")
+        for name, walls in window_walls.items()
+    }
+    load_gate = {
+        "pre_suite": load_pre,
+        "mid_settled": load_mid_settled,
+        "settle_seconds": settle_s,
+        # quiet iff both fully-settled co-tenant samples are small; the
+        # same 4.0 threshold (an eighth of the machine) as scaling_run.py
+        "quiet": max(load_pre, load_mid_settled) <= 4.0,
+        "windows": 2,
+        "minima_from_window_B": sum(
+            1 for w in min_window.values() if w == "B"
+        ),
+    }
 
     total = round(sum(timings.values()), 3)
     # apples-to-apples subtotal vs BENCH_r02: the r02 headline set, minus
@@ -118,13 +166,19 @@ def main() -> None:
         "sf": float(sf),
         "cpus": CPUS,
         "flagship_rows_per_sec": round(n_rows / flagship_sec, 1),
+        "load_gate": load_gate,
         "full_record": "see .fixtures/bench_full.json",
     }
     full = dict(
         out,
         queries_cold=timings_cold,
-        timing="best-of-2 (queries) + first-run (queries_cold)",
+        timing=(
+            "pooled min over two windows (A: 2 reps, B: 1 warm rep after "
+            f"{settle_s}s settle) + first-run (queries_cold)"
+        ),
         flagship_rows=n_rows,
+        boundary_loadavg_1m=boundary_loads,
+        min_window=min_window,
     )
     # merge the latest N-vs-4N scaling evidence (scripts/scaling_run.py):
     # headline efficiencies on stdout, full detail in the fixture record
