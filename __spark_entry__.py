@@ -1463,6 +1463,43 @@ def q_polygon_edt(spark, sf_dir):
     )
 
 
+def q_polygon_ring(spark, sf_dir):
+    """Boundary-ring morphology composite — the reference's TBM-thickness
+    family (process_mc_features.py:83-115): ring = dilate(mask, disk(r))
+    minus erode(dilate(mask, disk(r)), disk(r)), then per-component
+    area-weighted mean thickness area/(perimeter/2) — the last reference
+    feature family without a direct dual (r04 verdict item 3). Both
+    morphology halves are exact-EDT thresholds inside one mapInPandas.
+    ORACLED analytically on rectangles: dilating a w×h rectangle by
+    disk(r) adds 2r(w+h) side-band cells plus four quarter-disk corners
+    Q(r) = Σ_{i=1..r} floor(sqrt(r²−i²)); eroding the dilation by the
+    same disk recovers the rectangle EXACTLY (discrete closing of a
+    rectangle by a disk is the rectangle — proven by the diagonal
+    farthest-point argument in ring_stats_numpy's pytest), so ring_area
+    = 2r(w+h) + 4Q(r); the ring is one HV-convex-bounded component with
+    4-edge perimeter 2(w+h+4r) outside + 2(w+h) inside. DuckDB
+    recomputes all of it in closed form, including Q(r) via
+    generate_series."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        polygon_ring_features,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    x0, y0 = F.pmod(v * 11, F.lit(40)), F.pmod(v * 17, F.lit(40))
+    w, h = F.pmod(v * 3, F.lit(10)) + 5, F.pmod(v * 5, F.lit(10)) + 5
+    rect = F.array(
+        F.array(x0, y0), F.array(x0 + w, y0),
+        F.array(x0 + w, y0 + h), F.array(x0, y0 + h),
+    )
+    poly = emb.select("vec_id", rect.alias("points"))
+    out = polygon_ring_features(poly, "points", ["vec_id"], radius=5)
+    return out.select(
+        "vec_id", "ring_area", "ring_perimeter", "ring_components",
+        _r("ring_avg_thickness").alias("ring_avg_thickness"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixing sample (operators.sampling): per-lang
     keep fractions decided by an md5-derived uniform key — a pure
@@ -1643,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and remains in the repo harness / pytest gate)
         "polygon_holes": q_polygon_holes,
         "polygon_edt": q_polygon_edt,
+        "polygon_ring": q_polygon_ring,  # boundary-ring composite NEW r05
         "deconvolution": q_deconvolution,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -1991,6 +2029,27 @@ SELECT m.vec_id,
   round(CAST(least((m.w - 2 * m.mg + 1) // 2, (m.h - 2 * m.mg + 1) // 2)
         AS DOUBLE) / m.dm, 6) AS luminal_ratio
 FROM m JOIN md USING (vec_id)
+""",
+        # polygon_ring: closed form on rectangles (see q_polygon_ring).
+        # Q(r) = quarter-disk lattice count, r fixed at 5 → Q = 15.
+        "polygon_ring": """
+WITH dims AS (
+  SELECT vec_id, (vec_id * 3) % 10 + 5 AS w, (vec_id * 5) % 10 + 5 AS h
+  FROM embeddings
+),
+q AS (
+  SELECT list_aggregate(
+           list_transform(generate_series(1, 5),
+             i -> CAST(floor(sqrt(CAST(25 - i * i AS DOUBLE))) AS BIGINT)),
+           'sum') AS qr
+)
+SELECT d.vec_id,
+  CAST(2 * 5 * (d.w + d.h) + 4 * q.qr AS BIGINT) AS ring_area,
+  CAST(4 * (d.w + d.h) + 8 * 5 AS BIGINT) AS ring_perimeter,
+  CAST(1 AS BIGINT) AS ring_components,
+  round((2 * 5 * (d.w + d.h) + 4 * q.qr)
+        / ((4.0 * (d.w + d.h) + 40.0) / 2), 6) AS ring_avg_thickness
+FROM dims d CROSS JOIN q
 """,
         # media_decode: analytic dual — payload bytes are constructed
         # from vec_id arithmetic, so the DECODED-domain stats (after the

@@ -64,6 +64,7 @@ def main() -> None:
         "glcm_stats", "component_stats", "watershed_split",
         "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
         "media_decode", "media_decode_png", "media_decode_jpeg", "polygon_edt",
+        "polygon_ring",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
@@ -145,7 +146,7 @@ def main() -> None:
                      "polygon_holes", "media_decode", "media_decode_png",
                      "media_decode_jpeg", "polygon_edt", "simhash_dedup",
                      "stratified_sample", "pack_tokens", "rep_signals",
-                     "top_ngram")
+                     "top_ngram", "polygon_ring")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3

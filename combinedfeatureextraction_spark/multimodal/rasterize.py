@@ -699,3 +699,114 @@ def polygon_edt_features(
             yield pd.concat([pdf[list(id_cols)], f], axis=1)
 
     return df.select(*cols).mapInPandas(run, schema)
+
+
+# -------------------------------------------------- boundary-ring morphology
+
+RING_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("ring_area", T.LongType(), True),
+        T.StructField("ring_perimeter", T.LongType(), True),
+        T.StructField("ring_components", T.LongType(), True),
+        T.StructField("ring_avg_thickness", T.DoubleType(), True),
+    ]
+)
+
+
+def ring_stats_numpy(
+    mask: np.ndarray, radius: int, connectivity: int = 8
+) -> tuple:
+    """Boundary-ring morphology composite — the reference's TBM-thickness
+    shape (process_mc_features.py:83-115): ``ring = dilate(mask,
+    disk(r)) \\ erode(dilate(mask, disk(r)), disk(r))`` (binary_dilation /
+    binary_erosion with disk(20), the `blim[indel>0]=0` band), then
+    per-component area-weighted mean thickness ``area / (perimeter/2)``
+    over the ring's connected components (the reference's regionprops
+    loop + `tbm_avg` weighted sum, lines 109-115).
+
+    Both morphology halves are exact-EDT thresholds — with a Euclidean
+    disk structuring element, ``dilate(M, disk(r)) = {p : d(p, M) <= r}``
+    and ``erode(X, disk(r)) = {p : d(p, !X) > r}`` — so the composite
+    reuses :func:`distance_transform_numpy` (exact, so the <=/>
+    comparisons are exact: sqrt of an integer vs an integer radius is
+    correctly rounded). The grid is padded by 2r+1 and sliced back to
+    r so the EDT's outside-is-background convention cannot leak a false
+    dilation band in from the array edge. Perimeter is the 4-neighbor
+    boundary EDGE count (exact and orientation-free) rather than
+    skimage's Freeman-chain contour approximation — documented
+    deviation; the thickness SEMANTICS (area over half-perimeter,
+    area-weighted mean) match the reference.
+
+    Returns (ring_area, ring_perimeter, n_components, avg_thickness).
+    Payload-local in-UDF numpy on a bbox-cropped mask; arrays never
+    become Spark types."""
+    h, w = mask.shape
+    r = int(radius)
+    if r <= 0:
+        raise ValueError("ring radius must be >= 1")
+    if h == 0 or w == 0 or not mask.any():
+        return 0, 0, 0, None
+    pad = 2 * r + 1
+    big = np.zeros((h + 2 * pad, w + 2 * pad), dtype=bool)
+    big[pad : pad + h, pad : pad + w] = mask
+    bgd = distance_transform_numpy(~big)
+    dil = (big | (bgd <= r))[
+        pad - r : pad + h + r, pad - r : pad + w + r
+    ]
+    eroded = distance_transform_numpy(dil) > r
+    ring = dil & ~eroded
+    labels, n = label_components_numpy(ring, connectivity)
+    if n == 0:
+        return 0, 0, 0, None
+    areas = np.bincount(labels.ravel(), minlength=n + 1)[1:]
+    lab = np.pad(labels, 1)
+    per = np.zeros(n + 1, dtype=np.int64)
+    for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nb = np.roll(np.roll(lab, dr, axis=0), dc, axis=1)
+        edge = (lab > 0) & (lab != nb)
+        per += np.bincount(lab[edge], minlength=n + 1)
+    per = per[1:]
+    thick = areas / (per / 2.0)
+    avg = float((thick * areas).sum() / areas.sum())
+    return int(areas.sum()), int(per.sum()), int(n), avg
+
+
+def ring_features_numpy(
+    points: np.ndarray, radius: int, connectivity: int = 8
+) -> tuple:
+    mask, _, _ = rasterize_polygon_numpy(points)
+    return ring_stats_numpy(mask, radius, connectivity)
+
+
+def polygon_ring_features(
+    df: DataFrame,
+    points_col: str,
+    id_cols: Sequence[str],
+    radius: int = 20,
+) -> DataFrame:
+    """id_cols + RING_FEATURES_SCHEMA per polygon row (default radius 20
+    = the reference's disk(20), process_mc_features.py:83). Pure map via
+    mapInPandas — no shuffle, parallelism = input partitions, the same
+    100 TB shape as the other rasterize operators."""
+    id_fields = [df.schema[c] for c in id_cols]
+    schema = T.StructType(list(id_fields) + list(RING_FEATURES_SCHEMA.fields))
+    cols = list(id_cols) + [points_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                ring_features_numpy(
+                    np.array([list(p) for p in pts]), radius
+                )
+                if pts is not None and len(pts) >= 3
+                else (0, 0, 0, None)
+                for pts in pdf[points_col]
+            ]
+            f = pd.DataFrame(
+                feats,
+                columns=[x.name for x in RING_FEATURES_SCHEMA.fields],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[list(id_cols)], f], axis=1)
+
+    return df.select(*cols).mapInPandas(run, schema)

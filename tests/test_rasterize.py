@@ -555,3 +555,82 @@ def test_reconstruct_grayscale_reduces_to_binary():
                 marker.astype(float), mask.astype(float), conn
             )
             assert np.array_equal(gray > 0.5, reconstruct_2d_numpy(marker, mask, conn)), conn
+
+
+def _brute_ring(mask, r):
+    """Reference-shaped brute force: explicit disk-offset dilation, then
+    erosion of the dilation by the same disk (process_mc_features.py:
+    83-90), on a grid padded far enough that nothing clips."""
+    offs = [
+        (i, j)
+        for i in range(-r, r + 1)
+        for j in range(-r, r + 1)
+        if i * i + j * j <= r * r
+    ]
+    h, w = mask.shape
+    big = np.zeros((h + 4 * r, w + 4 * r), bool)
+    big[2 * r : 2 * r + h, 2 * r : 2 * r + w] = mask
+    dil = np.zeros_like(big)
+    for i, j in offs:
+        dil |= np.roll(np.roll(big, i, 0), j, 1)
+    ero = np.ones_like(big)
+    for i, j in offs:
+        ero &= np.roll(np.roll(dil, i, 0), j, 1)
+    return dil & ~ero
+
+
+def test_ring_stats_matches_bruteforce_morphology():
+    """ring_stats_numpy's EDT-threshold dilate/erode must equal explicit
+    disk-offset morphology (area + perimeter + component count) on
+    random blobs and rectangles."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        ring_stats_numpy,
+    )
+
+    rng = np.random.default_rng(31)
+    cases = [np.ones((5, 7), bool), np.ones((1, 9), bool)]
+    for _ in range(5):
+        cases.append(rng.random((12, 14)) < 0.25)
+    for r in (2, 3):
+        for mask in cases:
+            if not mask.any():
+                continue
+            ring = _brute_ring(mask, r)
+            area, per, n, avg = ring_stats_numpy(mask, r)
+            assert area == int(ring.sum()), (r, mask.sum())
+            # 4-edge perimeter of the whole ring, brute counted
+            lab = np.pad(ring, 1)
+            edges = 0
+            for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+                edges += int((lab & ~np.roll(lab, sh, axis=ax)).sum())
+            assert per == edges, r
+            assert avg is None or avg > 0
+
+
+def test_ring_weighted_thickness_two_components():
+    """Two far-apart rectangles in one mask → two ring components; the
+    avg must be the reference's area-weighted mean of per-component
+    area/(perimeter/2) (process_mc_features.py:109-115), closed-form:
+    ring_j = 2r(w+h)+4Q(r), per_j = 4(w+h)+8r."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        ring_stats_numpy,
+    )
+
+    r = 3
+    Q = sum(int(np.floor(np.sqrt(r * r - i * i))) for i in range(1, r + 1))
+    mask = np.zeros((40, 40), bool)
+    rects = [(2, 2, 6, 4), (2, 25, 10, 12)]  # (row0, col0, h, w)
+    exp = []
+    for r0, c0, hh, ww in rects:
+        mask[r0 : r0 + hh, c0 : c0 + ww] = True
+        a = 2 * r * (ww + hh) + 4 * Q
+        p = 4 * (ww + hh) + 8 * r
+        exp.append((a, p))
+    area, per, n, avg = ring_stats_numpy(mask, r)
+    assert n == 2
+    assert area == sum(a for a, _ in exp)
+    assert per == sum(p for _, p in exp)
+    thick = [a / (p / 2.0) for a, p in exp]
+    areas = [a for a, _ in exp]
+    want = sum(t * a for t, a in zip(thick, areas)) / sum(areas)
+    assert abs(avg - want) < 1e-12
