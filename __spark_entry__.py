@@ -1500,6 +1500,69 @@ def q_polygon_ring(spark, sf_dir):
     )
 
 
+def q_color_stats(spark, sf_dir):
+    """HSV + LAB masked color stats (closes SURVEY X1): decode a planted
+    P6 image and its P5 compartment mask → rgb2hsv / rgb2lab in-UDF →
+    masked per-channel mean/std — the reference's
+    calculate_color_features (FeatureExtractor.py:467-498) in the spaces
+    its thresholds run in (rgb2hsv FeatureExtractor.py:325,333; rgb2lab
+    process_mc_features.py:68-71). Fixture: 4×4 image whose LEFT half
+    (the masked compartment) alternates two vec_id-derived colors by row
+    (4 pixels each) and whose right half is white (must not leak), so
+    every masked stat is closed-form: mean = (f(c1)+f(c2))/2, std =
+    |f(c1)−f(c2)|/2 per channel. Colors are constructed so each has a
+    strict max channel and nonzero delta (no HSV tie branches), and the
+    DuckDB dual recomputes the FULL transform chain — sRGB gamma decode,
+    XYZ matrix, D65 normalize, CIE f(t) with both branches, and the HSV
+    sextant formula — in SQL. Payload-construction lambdas are
+    test-rig-only; production reads real bytes."""
+    from combinedfeatureextraction_spark.multimodal.color import (
+        masked_color_stats,
+    )
+
+    _IMG_HDR = "50360A3420340A3235350A"  # "P6\n4 4\n255\n"
+    _MSK_HDR = "50350A3420340A3235350A"  # "P5\n4 4\n255\n"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    v = F.col("vec_id")
+    img_body = F.expr(
+        "array_join(transform(sequence(0, 15), j -> "
+        "CASE WHEN j % 4 < 2 THEN "
+        "  CASE WHEN (j div 4) % 2 = 0 THEN concat("
+        "    lpad(hex(150 + vec_id % 100), 2, '0'), "
+        "    lpad(hex(40 + vec_id % 30), 2, '0'), "
+        "    lpad(hex(vec_id % 40), 2, '0')) "
+        "  ELSE concat("
+        "    lpad(hex(vec_id % 50), 2, '0'), "
+        "    lpad(hex(120 + vec_id % 80), 2, '0'), "
+        "    lpad(hex(50 + vec_id % 50), 2, '0')) END "
+        "ELSE 'FFFFFF' END), '')"
+    )
+    msk_body = F.lit("FFFF0000" * 4)
+    media = emb.select(
+        v.alias("media_id"),
+        F.unhex(F.concat(F.lit(_IMG_HDR), img_body)).alias("payload"),
+        F.unhex(F.concat(F.lit(_MSK_HDR), msk_body)).alias("mask_payload"),
+    )
+    hsv = masked_color_stats(media, space="hsv")
+    lab = masked_color_stats(media, space="lab")
+    return hsv.alias("h").join(lab.alias("l"), "media_id").select(
+        "media_id",
+        F.col("h.n_masked").alias("n_masked"),
+        _r("h.c1_mean").alias("h_mean"),
+        _r("h.c2_mean").alias("s_mean"),
+        _r("h.c3_mean").alias("v_mean"),
+        _r("h.c1_std").alias("h_std"),
+        _r("h.c2_std").alias("s_std"),
+        _r("h.c3_std").alias("v_std"),
+        _r("l.c1_mean").alias("lab_l_mean"),
+        _r("l.c2_mean").alias("lab_a_mean"),
+        _r("l.c3_mean").alias("lab_b_mean"),
+        _r("l.c1_std").alias("lab_l_std"),
+        _r("l.c2_std").alias("lab_a_std"),
+        _r("l.c3_std").alias("lab_b_std"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixing sample (operators.sampling): per-lang
     keep fractions decided by an md5-derived uniform key — a pure
@@ -1681,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_holes": q_polygon_holes,
         "polygon_edt": q_polygon_edt,
         "polygon_ring": q_polygon_ring,  # boundary-ring composite NEW r05
+        "color_stats": q_color_stats,  # HSV/LAB masked stats NEW r05
         "deconvolution": q_deconvolution,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -2050,6 +2114,73 @@ SELECT d.vec_id,
   round((2 * 5 * (d.w + d.h) + 4 * q.qr)
         / ((4.0 * (d.w + d.h) + 40.0) / 2), 6) AS ring_avg_thickness
 FROM dims d CROSS JOIN q
+""",
+        # color_stats: the full sRGB→HSV and sRGB→CIELAB chains in SQL
+        # (see q_color_stats). Colors have strict max channels (c1: r
+        # max / b min, c2: g max / r min) so the HSV sextant needs no
+        # tie branch; LAB keeps BOTH gamma and f(t) branches because
+        # dark channels (b1 < 11) cross the linear knee and c1's Z can
+        # dip below eps = 216/24389. Left-to-right sums match the numpy
+        # evaluation order exactly.
+        "color_stats": """
+WITH dims AS (
+  SELECT vec_id,
+    150 + vec_id % 100 AS r1, 40 + vec_id % 30 AS g1, vec_id % 40 AS b1,
+    vec_id % 50 AS r2, 120 + vec_id % 80 AS g2, 50 + vec_id % 50 AS b2
+  FROM embeddings
+),
+lin AS (
+  SELECT vec_id, r1, g1, b1, r2, g2, b2,
+    CASE WHEN r1/255.0 <= 0.04045 THEN r1/255.0/12.92 ELSE pow((r1/255.0+0.055)/1.055, 2.4) END AS lr1,
+    CASE WHEN g1/255.0 <= 0.04045 THEN g1/255.0/12.92 ELSE pow((g1/255.0+0.055)/1.055, 2.4) END AS lg1,
+    CASE WHEN b1/255.0 <= 0.04045 THEN b1/255.0/12.92 ELSE pow((b1/255.0+0.055)/1.055, 2.4) END AS lb1,
+    CASE WHEN r2/255.0 <= 0.04045 THEN r2/255.0/12.92 ELSE pow((r2/255.0+0.055)/1.055, 2.4) END AS lr2,
+    CASE WHEN g2/255.0 <= 0.04045 THEN g2/255.0/12.92 ELSE pow((g2/255.0+0.055)/1.055, 2.4) END AS lg2,
+    CASE WHEN b2/255.0 <= 0.04045 THEN b2/255.0/12.92 ELSE pow((b2/255.0+0.055)/1.055, 2.4) END AS lb2
+  FROM dims
+),
+xyz AS (
+  SELECT *,
+    (lr1*0.412453 + lg1*0.357580 + lb1*0.180423)/0.95047 AS x1,
+    (lr1*0.212671 + lg1*0.715160 + lb1*0.072169)/1.0 AS y1,
+    (lr1*0.019334 + lg1*0.119193 + lb1*0.950227)/1.08883 AS z1,
+    (lr2*0.412453 + lg2*0.357580 + lb2*0.180423)/0.95047 AS x2,
+    (lr2*0.212671 + lg2*0.715160 + lb2*0.072169)/1.0 AS y2,
+    (lr2*0.019334 + lg2*0.119193 + lb2*0.950227)/1.08883 AS z2
+  FROM lin
+),
+fv AS (
+  SELECT *,
+    CASE WHEN x1 > 216.0/24389.0 THEN cbrt(x1) ELSE (24389.0/27.0*x1+16.0)/116.0 END AS fx1,
+    CASE WHEN y1 > 216.0/24389.0 THEN cbrt(y1) ELSE (24389.0/27.0*y1+16.0)/116.0 END AS fy1,
+    CASE WHEN z1 > 216.0/24389.0 THEN cbrt(z1) ELSE (24389.0/27.0*z1+16.0)/116.0 END AS fz1,
+    CASE WHEN x2 > 216.0/24389.0 THEN cbrt(x2) ELSE (24389.0/27.0*x2+16.0)/116.0 END AS fx2,
+    CASE WHEN y2 > 216.0/24389.0 THEN cbrt(y2) ELSE (24389.0/27.0*y2+16.0)/116.0 END AS fy2,
+    CASE WHEN z2 > 216.0/24389.0 THEN cbrt(z2) ELSE (24389.0/27.0*z2+16.0)/116.0 END AS fz2
+  FROM xyz
+),
+ch AS (
+  SELECT vec_id,
+    ((g1 - b1)/CAST(r1 - b1 AS DOUBLE))/6.0 AS h1,
+    (r1 - b1)/CAST(r1 AS DOUBLE) AS s1,
+    r1/255.0 AS v1,
+    (2.0 + (b2 - r2)/CAST(g2 - r2 AS DOUBLE))/6.0 AS h2,
+    (g2 - r2)/CAST(g2 AS DOUBLE) AS s2,
+    g2/255.0 AS v2,
+    116.0*fy1 - 16.0 AS la1, 500.0*(fx1 - fy1) AS aa1, 200.0*(fy1 - fz1) AS ba1,
+    116.0*fy2 - 16.0 AS la2, 500.0*(fx2 - fy2) AS aa2, 200.0*(fy2 - fz2) AS ba2
+  FROM fv
+)
+SELECT vec_id AS media_id, CAST(8 AS BIGINT) AS n_masked,
+  round((h1+h2)/2, 6) AS h_mean, round((s1+s2)/2, 6) AS s_mean,
+  round((v1+v2)/2, 6) AS v_mean,
+  round(abs(h1-h2)/2, 6) AS h_std, round(abs(s1-s2)/2, 6) AS s_std,
+  round(abs(v1-v2)/2, 6) AS v_std,
+  round((la1+la2)/2, 6) AS lab_l_mean, round((aa1+aa2)/2, 6) AS lab_a_mean,
+  round((ba1+ba2)/2, 6) AS lab_b_mean,
+  round(abs(la1-la2)/2, 6) AS lab_l_std, round(abs(aa1-aa2)/2, 6) AS lab_a_std,
+  round(abs(ba1-ba2)/2, 6) AS lab_b_std
+FROM ch
 """,
         # media_decode: analytic dual — payload bytes are constructed
         # from vec_id arithmetic, so the DECODED-domain stats (after the
