@@ -74,6 +74,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a tiny single-file fixture scan across the core
+    budget BEFORE a CPU-heavy mapInPandas rig. The sf fixtures are one
+    parquet file each, so the scan plans as ONE partition and a pure-map
+    payload operator would otherwise run serially on one core (measured:
+    media_decode_jpeg's whole rig on 1 of 8 cores). The exchange moves
+    only the id column — trivially cheap next to the per-row payload
+    work. Corpus-scale inputs arrive in many partitions and don't need
+    this; the OPERATORS stay pure maps (plan-locked in test_plans.py) —
+    spreading is input preparation, not operator shape."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def _r(c, n=6):
     return F.round(c, n)
 
@@ -1055,7 +1069,7 @@ def q_polygon_features(spark, sf_dir):
         polygon_mask_features,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
     w, h = F.pmod(v * 3, F.lit(20)) + 1, F.pmod(v * 5, F.lit(20)) + 1
@@ -1093,7 +1107,7 @@ def q_polygon_components(spark, sf_dir):
         polygon_component_features,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
     w, h = F.pmod(v * 3, F.lit(20)) + 2, F.pmod(v * 5, F.lit(20)) + 2
@@ -1148,7 +1162,7 @@ def q_polygon_watershed(spark, sf_dir):
         polygon_watershed_features,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
     a = F.pmod(v * 3, F.lit(8)) + 8      # block width 8..15
@@ -1196,7 +1210,7 @@ def q_polygon_holes(spark, sf_dir):
         polygon_hole_features,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
     d = F.pmod(v * 3, F.lit(8)) + 10          # outer square side 10..17
@@ -1240,7 +1254,7 @@ def q_media_decode(spark, sf_dir):
         "524946464400000057415645666D7420100000000100"
         "0100401F0000803E0000020010006461746120000000"
     )
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     ppm_body = F.expr(
         "array_join(transform(sequence(0, 35), "
@@ -1294,7 +1308,7 @@ def q_media_decode_png(spark, sf_dir):
     )
     from pyspark.sql import types as T
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
 
     def rig(batches):
         import numpy as np
@@ -1360,7 +1374,7 @@ def q_media_decode_jpeg(spark, sf_dir):
     slide-payload decode S2 (FeatureExtractor.py:300)."""
     from pyspark.sql import types as T
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
 
     def rig(batches):
         import numpy as np
@@ -1375,16 +1389,20 @@ def q_media_decode_jpeg(spark, sf_dir):
 
         for pdf in batches:
             rows = []
+            ii = np.arange(6)
+            jj = np.arange(1, 10)
             for v in pdf["vec_id"]:
                 v = int(v)
-                q = np.zeros((2, 3, 8, 8), np.int64)
-                for i in range(6):
-                    by, bx = divmod(i, 3)
-                    nat = np.zeros(64, np.int64)
-                    nat[0] = 8 * ((v * 7 + i * 5) % 16)
-                    for j in range(1, 10):
-                        nat[_ZIGZAG[j]] = (v * 11 + i * 13 + j * 17) % 7 - 3
-                    q[by, bx] = nat.reshape(8, 8)
+                # same arithmetic as the original per-block loop,
+                # vectorized (the rig runs once per corpus row — the
+                # python double loop was the bench query's hot spot
+                # after the decoder itself was table-driven)
+                nat = np.zeros((6, 64), np.int64)
+                nat[:, 0] = 8 * ((v * 7 + ii * 5) % 16)
+                nat[:, _ZIGZAG[jj]] = (
+                    v * 11 + ii[:, None] * 13 + jj[None, :] * 17
+                ) % 7 - 3
+                q = nat.reshape(2, 3, 8, 8)
                 payload = encode_jpeg_gray_numpy(q)
                 grids, meta = decode_jpeg_coeffs(payload)
                 c = grids[0]
@@ -1443,7 +1461,7 @@ def q_polygon_edt(spark, sf_dir):
         polygon_edt_features,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     x0, y0 = F.pmod(v * 7, F.lit(50)), F.pmod(v * 13, F.lit(50))
     w, h = F.pmod(v * 3, F.lit(10)) + 5, F.pmod(v * 5, F.lit(10)) + 5
@@ -1484,7 +1502,7 @@ def q_polygon_ring(spark, sf_dir):
         polygon_ring_features,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     x0, y0 = F.pmod(v * 11, F.lit(40)), F.pmod(v * 17, F.lit(40))
     w, h = F.pmod(v * 3, F.lit(10)) + 5, F.pmod(v * 5, F.lit(10)) + 5
@@ -1522,7 +1540,7 @@ def q_color_stats(spark, sf_dir):
 
     _IMG_HDR = "50360A3420340A3235350A"  # "P6\n4 4\n255\n"
     _MSK_HDR = "50350A3420340A3235350A"  # "P5\n4 4\n255\n"
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
     v = F.col("vec_id")
     img_body = F.expr(
         "array_join(transform(sequence(0, 15), j -> "

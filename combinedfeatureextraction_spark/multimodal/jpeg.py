@@ -73,78 +73,165 @@ _K3_AC_LUMA = (
 
 
 class _HuffTable:
-    """Canonical Huffman table from the DHT (bits, values) spec form."""
+    """Canonical Huffman table from the DHT (bits, values) spec form,
+    compiled to a 16-bit-window lookup (r04-verdict item 5): JPEG codes
+    are ≤ 16 bits, so ``lut_len/lut_val[next16bits]`` resolve any symbol
+    in ONE table probe instead of a bit-at-a-time tree walk. The LUT is
+    filled with vectorized numpy range-assignments at DHT parse time and
+    kept as plain Python lists (C-speed scalar indexing, no numpy
+    boxing in the per-symbol loop)."""
+
+    # LUT compilation is ~ms (65536-entry fills + tolist); a corpus
+    # decodes thousands of images sharing a handful of table specs
+    # (often exactly the Annex K.3 typical tables), so compiled tables
+    # are cached per (bits, values) spec — without this the per-image
+    # DHT parse dominates the whole decode
+    _cache: dict[tuple, "_HuffTable"] = {}
+
+    def __new__(cls, bits: list[int], values: list[int]) -> "_HuffTable":
+        key = (tuple(bits), tuple(values))
+        hit = cls._cache.get(key)
+        if hit is not None:
+            return hit
+        self = super().__new__(cls)
+        self._build(bits, values)
+        cls._cache[key] = self
+        return self
 
     def __init__(self, bits: list[int], values: list[int]) -> None:
-        self.lookup: dict[tuple[int, int], int] = {}
+        pass  # construction happens in _build via the caching __new__
+
+    def _build(self, bits: list[int], values: list[int]) -> None:
+        lut_len = np.zeros(1 << 16, dtype=np.uint8)
+        lut_val = np.zeros(1 << 16, dtype=np.uint8)
         code = 0
         k = 0
         self.enc: dict[int, tuple[int, int]] = {}
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = values[k]
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                lut_len[lo:hi] = length
+                lut_val[lo:hi] = values[k]
                 self.enc[values[k]] = (length, code)
                 code += 1
                 k += 1
             code <<= 1
+        self.lut_len = lut_len.tolist()
+        self.lut_val = lut_val.tolist()
 
-    def decode(self, reader: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.bit()
-            v = self.lookup.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("invalid JPEG Huffman code")
+    def decode(self, reader: "_EntropyReader") -> int:
+        key = reader.peek16()
+        n = self.lut_len[key]
+        if n == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        reader.nbits -= n
+        reader.consumed += n
+        return self.lut_val[key]
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    byte-unstuffing; stops at any non-RST marker."""
+def _extract_entropy_segments(
+    payload: bytes, pos: int
+) -> tuple[list[bytes], int]:
+    """Pre-scan one scan's entropy-coded data: remove 0xFF00 byte
+    stuffing and split at RSTn markers, using C-speed ``bytes.find``
+    instead of per-byte Python. Returns (segments, marker_pos) where
+    ``segments`` has one unstuffed byte run per restart interval and
+    ``marker_pos`` is the terminating (non-RST) marker's position."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(payload)
+    i = pos
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            raise ValueError("JPEG truncated: no trailing marker")
+        cur += payload[i:j]
+        nxt = payload[j + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif nxt == 0xFF:  # T.81 B.1.1.2 fill byte
+            i = j + 1
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            segs.append(bytes(cur))
+            return segs, j
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.cur = 0
+
+class _EntropyReader:
+    """MSB-first bit reader over PRE-UNSTUFFED entropy segments (one per
+    restart interval): a plain byte-windowed accumulator — refilled a
+    byte at a time, peeked 16 bits at a time — with no marker/stuffing
+    checks left in the hot loop. ``consumed`` vs the segment's real bit
+    length is validated at scan end (truncation check parity with the
+    old per-bit reader)."""
+
+    __slots__ = ("segments", "seg_idx", "data", "nreal", "p", "acc",
+                 "nbits", "consumed")
+
+    def __init__(self, segments: list[bytes]) -> None:
+        self.segments = segments
+        self.seg_idx = 0
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        # 3 zero pad bytes let the final ≤16-bit peek window run past
+        # the true end; `consumed` still counts only real consumption
+        self.data = self.segments[i] + b"\x00\x00\x00"
+        self.nreal = len(self.segments[i]) * 8
+        self.p = 0
+        self.acc = 0
         self.nbits = 0
+        self.consumed = 0
+
+    def check_not_truncated(self) -> None:
+        if self.consumed > self.nreal:
+            raise ValueError("JPEG entropy data truncated")
+
+    def next_segment(self) -> None:
+        self.check_not_truncated()
+        self.seg_idx += 1
+        if self.seg_idx >= len(self.segments):
+            raise ValueError("JPEG entropy data truncated (missing RST)")
+        self._load(self.seg_idx)
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
+            self.p += 1
+            self.nbits += 8
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
+            self.p += 1
+            self.nbits += 8
+        self.nbits -= n
+        self.consumed += n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed 0xFF
-                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    raise _RestartMarker(nxt)
-                else:
-                    raise ValueError("unexpected marker in entropy data")
-            self.cur = b
+            self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
+            self.p += 1
             self.nbits = 8
         self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        self.consumed += 1
+        return (self.acc >> self.nbits) & 1
 
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_after_restart(self) -> None:
-        self.nbits = 0
-
-    def skip_restart_marker(self) -> None:
-        # reader.pos sits right after the 0xFF that raised; skip the RSTn id
-        self.pos += 1
-        self.nbits = 0
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int) -> None:
-        self.marker = marker
+    def receive_extend(self, n: int) -> int:
+        """receive(n) + T.81 F.12 EXTEND in one step."""
+        if n == 0:
+            return 0
+        v = self.receive(n)
+        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
 def _extend(v: int, n: int) -> int:
@@ -184,7 +271,7 @@ def _decode_block(
             t = dc_tab.decode(reader)
             if t > 11:
                 raise ValueError("bad DC category")
-            state.pred[idx] += _extend(reader.receive(t), t)
+            state.pred[idx] += reader.receive_extend(t)
             zz_blk[0] = state.pred[idx] << al
         else:  # DC refinement: one raw bit
             if reader.bit():
@@ -210,7 +297,7 @@ def _decode_block(
             k += r
             if k > se:
                 raise ValueError("AC index overflow")
-            zz_blk[k] = _extend(reader.receive(s), s) << al
+            zz_blk[k] = reader.receive_extend(s) << al
             k += 1
     else:  # AC refinement (G.1.2.3)
         p1, m1 = 1 << al, -1 << al
@@ -254,27 +341,11 @@ def _decode_block(
 
 
 def _expect_restart(reader, state):
-    """Consume pad bits up to the RSTn marker and reset predictors."""
-    try:
-        while True:
-            reader.bit()
-    except _RestartMarker:
-        reader.skip_restart_marker()
-        state.reset_restart()
-
-
-def _next_marker(payload: bytes, pos: int) -> int:
-    """Position of the next real marker at/after ``pos`` (skips entropy
-    bytes, stuffed 0xFF00 and RSTn)."""
-    while pos + 1 < len(payload):
-        if (
-            payload[pos] == 0xFF
-            and payload[pos + 1] != 0x00
-            and not (0xD0 <= payload[pos + 1] <= 0xD7)
-        ):
-            return pos
-        pos += 1
-    raise ValueError("JPEG truncated: no trailing marker")
+    """Advance to the next restart interval's pre-split segment (the pad
+    bits and the RSTn id were consumed by the pre-scan) and reset
+    predictors."""
+    reader.next_segment()
+    state.reset_restart()
 
 
 def decode_jpeg_coeffs(payload: bytes):
@@ -369,7 +440,8 @@ def decode_jpeg_coeffs(payload: bytes):
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
-            reader = _BitReader(payload, seg_end)
+            segments, scan_end = _extract_entropy_segments(payload, seg_end)
+            reader = _EntropyReader(segments)
             state.eobrun = 0
             state.pred = {i: 0 for i in state.pred}
             if ns > 1:  # interleaved: MCU order over the padded grid
@@ -409,7 +481,8 @@ def decode_jpeg_coeffs(payload: bytes):
                             dc_tabs.get(td), ac_tabs.get(ta), ss, se, ah, al,
                         )
                         unit += 1
-            pos = _next_marker(payload, reader.pos)
+            reader.check_not_truncated()
+            pos = scan_end
             continue
         pos = seg_end
     if sof is None or state is None:
