@@ -1703,66 +1703,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          repo's identical harness (tests/run_oracle_compare.py, run over
          ALL registered queries in CI/pytest)."""
     return {
-        # -- r04: changed impl / new oracle / new query — gate first -----
-        "stratified_sample": q_stratified_sample,  # NEW in r04 (md5-portable sampling)
-        "pack_tokens": q_pack_tokens,  # NEW in r04 (sequence packing)
-        "stratified_take": q_stratified_take,  # NEW in r04 (exact quota sampling)
-        "rep_signals": q_rep_signals,  # NEW in r04 (Gopher dup-ngram fractions)
-        "top_ngram": q_top_ngram,  # NEW in r04 (top-ngram char fraction)
-        "watershed_split": q_watershed_split,  # oracle NEW (SQL peak/valley dual)
-        "polygon_components": q_polygon_components,  # fixture+oracle NEW (two-rect)
-        "polygon_watershed": q_polygon_watershed,  # oracle NEW (symmetric-split closed form)
-        "media_decode_png": q_media_decode_png,  # NEW in r04 (stdlib PNG codec)
-        "media_decode_jpeg": q_media_decode_jpeg,  # NEW in r04 (baseline JPEG)
-        "ivf_topk": q_ivf_topk,  # full-probe exact + oracle NEW
-        "media_features": q_media_features,  # oracle NEW (byte-domain dual)
-        "simhash_dedup": q_simhash_dedup,  # query changed (max_bucket=None)
-        "ngram_jaccard": q_ngram_jaccard,  # impl changed (exact-tier guard)
-        "embedding_near_dup": q_embedding_near_dup,  # impl changed (guard)
-        "corpus_curation": q_corpus_curation,  # impl changed (winners checkpoint)
-        "asof_join_grid": q_asof_join_grid,  # impl changed (post-pull revalidation)
+        # -- r05: new queries / changed impl or plan — gate first --------
+        "polygon_ring": q_polygon_ring,  # NEW r05 (boundary-ring composite)
+        "color_stats": q_color_stats,  # NEW r05 (HSV/LAB masked stats)
+        "media_decode_jpeg": q_media_decode_jpeg,  # impl changed (LUT entropy decode)
+        "asof_join_grid": q_asof_join_grid,  # impl changed (bounded-pull guard)
         "streaming_asof": q_streaming_asof,  # grid path shared with the above
-        "lsh_topk": q_lsh_topk,  # impl changed (broadcast_queries param)
-        "lsh_topk_exact": q_lsh_topk_exact,  # NEW in r04 (bits=0 exact gate)
-        "media_decode": q_media_decode,  # codec module touched (PNG dispatch)
-        # -- r02-dated rows rotated back in (driver row ages to 2 rounds) -
-        "payload_passthrough": q_payload_passthrough,
-        "payload_sum": q_payload_sum,
-        "text_quality": q_text_quality,
-        "salted_agg": q_salted_agg,
-        "asof_tolerance": q_asof_tolerance,
-        "asof_join_salted": q_asof_join_salted,
-        "component_count": q_component_count,
-        "sessions_filtered": q_sessions_filtered,
-        "rebase": q_rebase,
-        "otsu": q_otsu,
-        "streaming_sessions": q_streaming_sessions,
-        "ratio_of_aggregates": q_ratio_of_aggregates,
-        "feature_long_format": q_feature_long_format,
-        "geodesic_flood": q_geodesic_flood,
-        "connected_components": q_connected_components,
-        "merge_writeback": q_merge_writeback,
-        "pivot": q_pivot,
-        "rollup": q_rollup,
-        "quantiles": q_quantiles,
-        "tumbling_window": q_tumbling_window,
-        "value_histogram": q_value_histogram,
-        "distinct_users": q_distinct_users,
-        # -- proven core (r03 driver-green), representative per family ---
-        "rolling_window": q_rolling_window,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "six_stat": q_six_stat,
-        "glcm_stats": q_glcm_stats,
-        "component_stats": q_component_stats,
-        "polygon_features": q_polygon_features,
-        # ---- position 51+ : rotated out of the r04 driver window -------
-        # (every one below has a driver-green row in CORRECTNESS_r03.json
-        # and remains in the repo harness / pytest gate)
-        "polygon_holes": q_polygon_holes,
-        "polygon_edt": q_polygon_edt,
-        "polygon_ring": q_polygon_ring,  # boundary-ring composite NEW r05
-        "color_stats": q_color_stats,  # HSV/LAB masked stats NEW r05
+        "ngram_jaccard": q_ngram_jaccard,  # impl changed (streaming reject)
+        "embedding_near_dup": q_embedding_near_dup,  # impl changed (same)
+        "polygon_features": q_polygon_features,  # plan changed (_spread)
+        "polygon_components": q_polygon_components,  # plan changed (_spread)
+        "polygon_watershed": q_polygon_watershed,  # plan changed (_spread)
+        "polygon_holes": q_polygon_holes,  # plan changed (_spread)
+        "polygon_edt": q_polygon_edt,  # plan changed (_spread)
+        "media_decode": q_media_decode,  # plan changed (_spread)
+        "media_decode_png": q_media_decode_png,  # plan changed (_spread)
+        # -- r03-dated rows rotated back in (driver row ages to 2 rounds) -
         "deconvolution": q_deconvolution,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -1792,6 +1748,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_embedding": q_normalize_embedding,
         "approx_stats": q_approx_stats,
         "asof_strict": q_asof_strict,
+        # -- r04-dated fill to 50 (core families, oldest-equal tier) -----
+        "payload_passthrough": q_payload_passthrough,
+        "payload_sum": q_payload_sum,
+        "text_quality": q_text_quality,
+        "salted_agg": q_salted_agg,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_join_salted": q_asof_join_salted,
+        "component_count": q_component_count,
+        # ---- position 51+ : rotated out of the r05 driver window -------
+        # (every one below has a driver-green row in CORRECTNESS_r04.json
+        # and remains in the repo harness / pytest gate)
+        "stratified_sample": q_stratified_sample,
+        "pack_tokens": q_pack_tokens,
+        "stratified_take": q_stratified_take,
+        "rep_signals": q_rep_signals,
+        "top_ngram": q_top_ngram,
+        "watershed_split": q_watershed_split,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
+        "simhash_dedup": q_simhash_dedup,
+        "corpus_curation": q_corpus_curation,
+        "lsh_topk": q_lsh_topk,
+        "lsh_topk_exact": q_lsh_topk_exact,
+        "sessions_filtered": q_sessions_filtered,
+        "rebase": q_rebase,
+        "otsu": q_otsu,
+        "streaming_sessions": q_streaming_sessions,
+        "ratio_of_aggregates": q_ratio_of_aggregates,
+        "feature_long_format": q_feature_long_format,
+        "geodesic_flood": q_geodesic_flood,
+        "connected_components": q_connected_components,
+        "merge_writeback": q_merge_writeback,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "quantiles": q_quantiles,
+        "tumbling_window": q_tumbling_window,
+        "value_histogram": q_value_histogram,
+        "distinct_users": q_distinct_users,
+        "rolling_window": q_rolling_window,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "six_stat": q_six_stat,
+        "glcm_stats": q_glcm_stats,
+        "component_stats": q_component_stats,
     }
 
 
