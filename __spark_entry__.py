@@ -1481,6 +1481,74 @@ def q_polygon_edt(spark, sf_dir):
     )
 
 
+def q_media_decode_flac(spark, sf_dir):
+    """FLAC decode, ORACLED on losslessness (round-5): FLAC reconstructs
+    PCM bit-exactly, so decoded-domain stats are externally verifiable
+    with no tolerance. Per vec_id the rig plants 24×2 interleaved
+    samples ((v·13+k·7+ch·3) mod 4001 − 2000), encodes them as a REAL
+    FLAC stream (fixed-order-2 predictor subframes with single-partition
+    Rice residuals — warm-up, prediction and zigzag/unary residual paths
+    all exercised), and decodes through multimodal.flac (stream marker,
+    STREAMINFO, frame header incl. UTF-8 number + CRC fields, subframe
+    + residual machinery, channel interleave). The DuckDB dual
+    recomputes n_samples/mean/std from the same arithmetic — any bit
+    reader, predictor, Rice or interleave bug breaks the hash. VERBATIM
+    subframes, stereo decorrelation and 8/24-bit paths are pinned in
+    tests/test_flac.py. The rig is test-only; production reads real
+    bytes through the same magic-dispatch (binary._decode_real)."""
+    from pyspark.sql import types as T
+
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
+
+    def rig(batches):
+        import numpy as np
+        import pandas as pd
+
+        from combinedfeatureextraction_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac_numpy,
+        )
+
+        kk = np.arange(24)[:, None]
+        cc = np.arange(2)[None, :]
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                v = int(v)
+                x = ((v * 13 + kk * 7 + cc * 3) % 4001) - 2000
+                payload = encode_flac_numpy(
+                    x, sample_rate=8000, subframe="fixed2", rice_param=10
+                )
+                flat, rate, nch = decode_flac(payload)
+                rows.append(
+                    (v, len(flat), float(flat.mean()), float(flat.std()),
+                     rate, nch)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_mean",
+                         "sample_std", "sample_rate", "channels"],
+            )
+
+    out = emb.mapInPandas(
+        rig,
+        T.StructType([
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("sample_mean", T.DoubleType(), False),
+            T.StructField("sample_std", T.DoubleType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("channels", T.IntegerType(), False),
+        ]),
+    )
+    return out.select(
+        "media_id", "n_samples",
+        _r("sample_mean").alias("sample_mean"),
+        _r("sample_std").alias("sample_std"),
+        "sample_rate", "channels",
+    )
+
+
 def q_polygon_ring(spark, sf_dir):
     """Boundary-ring morphology composite — the reference's TBM-thickness
     family (process_mc_features.py:83-115): ring = dilate(mask, disk(r))
@@ -1704,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          ALL registered queries in CI/pytest)."""
     return {
         # -- r05: new queries / changed impl or plan — gate first --------
+        "media_decode_flac": q_media_decode_flac,  # NEW r05 (FLAC codec)
         "polygon_ring": q_polygon_ring,  # NEW r05 (boundary-ring composite)
         "color_stats": q_color_stats,  # NEW r05 (HSV/LAB masked stats)
         "media_decode_jpeg": q_media_decode_jpeg,  # impl changed (LUT entropy decode)
@@ -1755,10 +1824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "asof_tolerance": q_asof_tolerance,
         "asof_join_salted": q_asof_join_salted,
-        "component_count": q_component_count,
         # ---- position 51+ : rotated out of the r05 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r04.json
         # and remains in the repo harness / pytest gate)
+        "component_count": q_component_count,
         "stratified_sample": q_stratified_sample,
         "pack_tokens": q_pack_tokens,
         "stratified_take": q_stratified_take,
@@ -2132,6 +2201,25 @@ SELECT d.vec_id,
   round((2 * 5 * (d.w + d.h) + 4 * q.qr)
         / ((4.0 * (d.w + d.h) + 40.0) / 2), 6) AS ring_avg_thickness
 FROM dims d CROSS JOIN q
+""",
+        # media_decode_flac: losslessness dual — decoded PCM must equal
+        # the planted arithmetic exactly (see q_media_decode_flac)
+        "media_decode_flac": """
+WITH cells AS (
+  SELECT e.vec_id,
+         CAST(((e.vec_id * 13 + k.k * 7 + c.c * 3) % 4001) - 2000
+              AS DOUBLE) AS s
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS k) k
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c) c
+)
+SELECT vec_id AS media_id,
+  CAST(count(*) AS INTEGER) AS n_samples,
+  round(avg(s), 6) AS sample_mean,
+  round(stddev_pop(s), 6) AS sample_std,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(2 AS INTEGER) AS channels
+FROM cells GROUP BY vec_id
 """,
         # color_stats: the full sRGB→HSV and sRGB→CIELAB chains in SQL
         # (see q_color_stats). Colors have strict max channels (c1: r

@@ -204,6 +204,8 @@ def main() -> None:
             "expected_full_efficiency_from_decomposition",
             "lsh_topk_speedup_8_to_32",
             "lsh_topk_scaling_efficiency_NtoN4",
+            "lsh_big_speedup_8_to_32",
+            "lsh_big_scaling_efficiency_NtoN4",
             "text_speedup_8_to_32",
             "text_scaling_efficiency_NtoN4",
             "load_gate",

@@ -331,10 +331,14 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
         from combinedfeatureextraction_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(payload)[0]
+    if payload[:4] == b"fLaC":
+        from combinedfeatureextraction_spark.multimodal.flac import decode_flac
+
+        return decode_flac(payload)[0]
     raise NotImplementedError(
-        "compressed codec (lossless/arithmetic JPEG, FLAC, MP4, ...) "
-        "requires cv2/PIL/librosa — netpbm/WAV-PCM/BMP/PNG and "
-        "baseline+progressive JPEG decode natively here"
+        "compressed codec (lossless/arithmetic JPEG, MP4, ...) requires "
+        "cv2/PIL/librosa — netpbm/WAV-PCM/BMP/PNG, baseline+progressive "
+        "JPEG and FLAC decode natively here"
     )
 
 
@@ -424,6 +428,12 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                     )
 
                     arr, w, h, ch = decode_jpeg(payload)
+                elif payload[:4] == b"fLaC":
+                    from combinedfeatureextraction_spark.multimodal.flac import (
+                        decode_flac,
+                    )
+
+                    arr, _, ch = decode_flac(payload)
                 else:
                     arr = _decode_real(payload, mtype)  # raises: documented seam
                 rows.append(

@@ -159,6 +159,20 @@ def run(cpus: int) -> dict:
             vecs, queries, "vec_id", "embedding", k=10, bits=10, tables=4
         ).write.format("noop").mode("overwrite").save()
 
+    # large-probe-set shuffle-join path (r04-verdict item 8): 20k probe
+    # vectors through broadcast_queries=False — every join AQE-planned
+    # shuffle instead of broadcast; parity and plan shape are pytest-
+    # pinned at fixture size, this measures how the shuffle tier SCALES
+    queries_big = vecs.filter(F.col("vec_id") < 20_000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def t_lsh_big():
+        lsh_topk(
+            vecs, queries_big, "vec_id", "embedding", k=10, bits=14,
+            tables=2, broadcast_queries=False,
+        ).write.format("noop").mode("overwrite").save()
+
     def t_wide():
         # enriched-rows: payload rides the window shuffle (bandwidth-bound)
         rowlevel_features(seqs, states, carry_payload=True).write.format(
@@ -201,7 +215,7 @@ def run(cpus: int) -> dict:
 
     variants = {
         "full": t_full, "core": t_core, "decode": t_decode,
-        "lsh": t_lsh, "text": t_text,
+        "lsh": t_lsh, "lsh_big": t_lsh_big, "text": t_text,
     }
     if os.environ.get("CFE_SCALE_WIDE", "1") != "0":
         variants["wide"] = t_wide
@@ -248,6 +262,8 @@ def run(cpus: int) -> dict:
         "lsh_wall_sec": round(wall_lsh, 2),
         "lsh_vecs": n_vecs,
         "lsh_vecs_per_sec": round(n_vecs / wall_lsh, 1),
+        "lsh_big_wall_sec": round(best("lsh_big"), 2),
+        "lsh_big_vecs_per_sec": round(n_vecs / best("lsh_big"), 1),
         "text_wall_sec": round(best("text"), 2),
         "text_docs": n_docs,
         "text_docs_per_sec": round(n_docs / best("text"), 1),
@@ -309,6 +325,17 @@ def run_all() -> None:
         ),
         "lsh_topk_speedup_8_to_32": round(lsh_sp, 3),
         "lsh_topk_scaling_efficiency_NtoN4": round(lsh_sp / 4.0, 3),
+        "lsh_big_speedup_8_to_32": round(
+            results[32]["lsh_big_vecs_per_sec"]
+            / results[8]["lsh_big_vecs_per_sec"],
+            3,
+        ),
+        "lsh_big_scaling_efficiency_NtoN4": round(
+            results[32]["lsh_big_vecs_per_sec"]
+            / results[8]["lsh_big_vecs_per_sec"]
+            / 4.0,
+            3,
+        ),
         "text_speedup_8_to_32": round(
             results[32]["text_docs_per_sec"] / results[8]["text_docs_per_sec"], 3
         ),

@@ -150,7 +150,9 @@ def test_decode_unknown_magic_raises():
     from combinedfeatureextraction_spark.multimodal.binary import _decode_real
 
     with _pytest.raises(NotImplementedError):
-        _decode_real(b"fLaC\x00\x00\x00\x22....", "audio")  # FLAC: the seam
+        # MP4 (ftyp box): the remaining codec seam — FLAC decodes
+        # natively since r05 (multimodal.flac)
+        _decode_real(b"\x00\x00\x00\x18ftypisom....", "video")
 
 
 def test_decode_png_roundtrip_all_filters_and_channels():
