@@ -64,7 +64,7 @@ def main() -> None:
         "glcm_stats", "component_stats", "watershed_split",
         "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
         "media_decode", "media_decode_png", "media_decode_jpeg", "polygon_edt",
-        "polygon_ring",
+        "polygon_ring", "color_stats", "media_decode_flac",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
@@ -146,7 +146,8 @@ def main() -> None:
                      "polygon_holes", "media_decode", "media_decode_png",
                      "media_decode_jpeg", "polygon_edt", "simhash_dedup",
                      "stratified_sample", "pack_tokens", "rep_signals",
-                     "top_ngram", "polygon_ring")
+                     "top_ngram", "polygon_ring", "color_stats",
+                     "media_decode_flac")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3
@@ -168,6 +169,14 @@ def main() -> None:
         "cpus": CPUS,
         "flagship_rows_per_sec": round(n_rows / flagship_sec, 1),
         "load_gate": load_gate,
+        # the gate bounds IN-GUEST contention only: host-level co-tenancy
+        # is invisible to this VM's loadavg (r05 measured: quiet-gated
+        # windows running a uniform 1.2-1.4x over the r02 record day on
+        # untouched queries, in bench AND scaling alike). Compare
+        # common_with_r02_sec against 19.45 s with that band in mind;
+        # per-query regressions show up as OUTLIERS against the uniform
+        # host factor, not as the factor itself.
+        "gate_scope": "in-guest loadavg only; host co-tenancy invisible",
         "full_record": "see .fixtures/bench_full.json",
     }
     full = dict(

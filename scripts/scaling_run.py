@@ -159,11 +159,16 @@ def run(cpus: int) -> dict:
             vecs, queries, "vec_id", "embedding", k=10, bits=10, tables=4
         ).write.format("noop").mode("overwrite").save()
 
-    # large-probe-set shuffle-join path (r04-verdict item 8): 20k probe
+    # large-probe-set shuffle-join path (r04-verdict item 8): 4k probe
     # vectors through broadcast_queries=False — every join AQE-planned
     # shuffle instead of broadcast; parity and plan shape are pytest-
-    # pinned at fixture size, this measures how the shuffle tier SCALES
-    queries_big = vecs.filter(F.col("vec_id") < 20_000).select(
+    # pinned at fixture size, this measures how the shuffle tier SCALES.
+    # Sized to ~1 min/rep and ORDERED LAST (run_all note): the r05
+    # attempt-1 20k-probe version ran 256 s at local[8] and its tmpfs
+    # shuffle spill evicted the 6.9 GB payload page cache, poisoning
+    # every variant that followed it in the rep (wide-32 153 s vs the
+    # 52 s record on unchanged code).
+    queries_big = vecs.filter(F.col("vec_id") < 4_000).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
@@ -215,10 +220,13 @@ def run(cpus: int) -> dict:
 
     variants = {
         "full": t_full, "core": t_core, "decode": t_decode,
-        "lsh": t_lsh, "lsh_big": t_lsh_big, "text": t_text,
+        "lsh": t_lsh, "text": t_text,
     }
     if os.environ.get("CFE_SCALE_WIDE", "1") != "0":
         variants["wide"] = t_wide
+    # lsh_big LAST: its shuffle spill pressures the tmpfs page cache —
+    # anything timed after it in the same rep pays the re-read
+    variants["lsh_big"] = t_lsh_big
     only = os.environ.get("CFE_SCALE_ONLY")
     if only:
         variants = {k: v for k, v in variants.items() if k in only.split(",")}
