@@ -1649,6 +1649,64 @@ def q_color_stats(spark, sf_dir):
     )
 
 
+def q_subcompartment(spark, sf_dir):
+    """The reference's SUB-COMPARTMENT SEGMENTATION CASCADE
+    (FeatureExtractor.sub_segment_image, FeatureExtractor.py:318-380):
+    nuclei via masked-histogram-equalized 255−V threshold (+ hole fill,
+    small-object removal; the watershed step is the documented >0
+    identity), eosinophilic via HSV-saturation threshold over the
+    REMAINDER mask, luminal as the boundary-mask remainder — one-hot
+    masks feeding per-compartment area + mean-V stats. Fixture: 8×8
+    three-stripe images with vec_id-derived stripe widths and levels,
+    chosen so every cascade branch resolves closed-form: the equalized
+    dark stripe always maps to 255 (> the 200 threshold) while
+    floor(255·(w2+w3)/8) ≤ 191 keeps the bright stripes out; the eos
+    stripe's S_u8 = floor(255·((100−bb)/200)) ∈ [65,127] > 60; the
+    luminal param thresholds at 255 (selects nothing) and receives the
+    remainder. DuckDB recomputes stripe areas and the constant
+    per-stripe V means — any equalize/threshold/remainder-bookkeeping
+    bug reroutes pixels and breaks the areas. Hole-fill, small-object
+    and equalize internals are pinned separately in
+    tests/test_subcompartment.py."""
+    from combinedfeatureextraction_spark.multimodal.subcompartment import (
+        sub_compartment_features,
+    )
+
+    _IMG_HDR = "50360A3820380A3235350A"  # "P6\n8 8\n255\n"
+    _MSK_HDR = "50350A3820380A3235350A"  # "P5\n8 8\n255\n"
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
+    img_body = F.expr(
+        "array_join(transform(sequence(0, 63), j -> "
+        "CASE WHEN j % 8 < 2 + vec_id % 3 THEN "
+        "  repeat(lpad(hex(20 + vec_id % 20), 2, '0'), 3) "
+        "WHEN j % 8 < 4 + vec_id % 3 + vec_id % 2 THEN concat('C8', "
+        "  lpad(hex(100 + vec_id % 50), 2, '0'), "
+        "  lpad(hex(100 + vec_id % 50), 2, '0')) "
+        "ELSE 'DCDCDC' END), '')"
+    )
+    media = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(_IMG_HDR), img_body)).alias("payload"),
+        F.unhex(F.concat(F.lit(_MSK_HDR), F.lit("FF" * 64))).alias(
+            "mask_payload"
+        ),
+    )
+    out = sub_compartment_features(
+        media,
+        params=[
+            {"name": "nuclei", "threshold": 200, "min_size": 4},
+            {"name": "eos", "threshold": 60, "min_size": 4},
+            {"name": "luminal", "threshold": 255, "min_size": 0},
+        ],
+    )
+    return out.select(
+        "media_id", "c1_area", "c2_area", "c3_area",
+        _r("c1_mean_v").alias("c1_mean_v"),
+        _r("c2_mean_v").alias("c2_mean_v"),
+        _r("c3_mean_v").alias("c3_mean_v"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixing sample (operators.sampling): per-lang
     keep fractions decided by an md5-derived uniform key — a pure
@@ -1773,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r05: new queries / changed impl or plan — gate first --------
         "media_decode_flac": q_media_decode_flac,  # NEW r05 (FLAC codec)
+        "subcompartment": q_subcompartment,  # NEW r05 (segmentation cascade)
         "polygon_ring": q_polygon_ring,  # NEW r05 (boundary-ring composite)
         "color_stats": q_color_stats,  # NEW r05 (HSV/LAB masked stats)
         "media_decode_jpeg": q_media_decode_jpeg,  # impl changed (LUT entropy decode)
@@ -1823,10 +1882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "asof_tolerance": q_asof_tolerance,
-        "asof_join_salted": q_asof_join_salted,
         # ---- position 51+ : rotated out of the r05 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r04.json
         # and remains in the repo harness / pytest gate)
+        "asof_join_salted": q_asof_join_salted,
         "component_count": q_component_count,
         "stratified_sample": q_stratified_sample,
         "pack_tokens": q_pack_tokens,
@@ -2201,6 +2260,23 @@ SELECT d.vec_id,
   round((2 * 5 * (d.w + d.h) + 4 * q.qr)
         / ((4.0 * (d.w + d.h) + 40.0) / 2), 6) AS ring_avg_thickness
 FROM dims d CROSS JOIN q
+""",
+        # subcompartment: stripe-fixture closed form (see q_subcompartment)
+        "subcompartment": """
+WITH p AS (
+  SELECT vec_id,
+    2 + vec_id % 3 AS w1, 2 + vec_id % 2 AS w2,
+    vec_id % 20 AS a
+  FROM embeddings
+)
+SELECT vec_id AS media_id,
+  CAST(8 * w1 AS BIGINT) AS c1_area,
+  CAST(8 * w2 AS BIGINT) AS c2_area,
+  CAST(8 * (8 - w1 - w2) AS BIGINT) AS c3_area,
+  round(CAST(20 + a AS DOUBLE), 6) AS c1_mean_v,
+  round(200.0, 6) AS c2_mean_v,
+  round(220.0, 6) AS c3_mean_v
+FROM p
 """,
         # media_decode_flac: losslessness dual — decoded PCM must equal
         # the planted arithmetic exactly (see q_media_decode_flac)

@@ -1,0 +1,206 @@
+"""Sub-compartment segmentation cascade (SURVEY §2 X-family composite).
+
+Reference: ``FeatureExtractor.sub_segment_image``
+(fextract/extractioncodes/FeatureExtractor.py:318-380) builds one-hot
+sub-compartment masks from an RGB crop + boundary mask:
+
+  1. nuclei: 255 − uint8(255·V) (inverse HSV value), histogram-equalized
+     over the boundary mask, manual threshold, ``remove_small_holes``,
+     an EDT-marker watershed, ``remove_small_objects``;
+  2. each following compartment (eosinophilic, ...): uint8(255·S)
+     (HSV saturation) over the REMAINDER mask, manual threshold,
+     ``remove_small_objects``;
+  3. pixels of the boundary mask left in the remainder join the LAST
+     compartment (union with its own thresholded mask).
+
+Two documented simplifications, both exact on the reference's use:
+
+  - The reference consumes its watershed only as ``watershed(-distance,
+    markers, mask=sub_mask) > 0`` (line 353) — and a flood from ≥1
+    marker per connected component labels every cell of that component,
+    while ``peak_local_max(..., labels=labeled_mask)`` yields at least
+    one peak per labeled component. So the ``> 0`` collapse is the
+    IDENTITY on the thresholded mask and the step is skipped here (the
+    splitting power of the watershed matters only for per-object
+    counting, which this composite does not do — the full 2-D watershed
+    lives in multimodal.rasterize for that).
+  - Equalization is the exact masked CDF map ``out = floor(255 ·
+    |{masked px ≤ v}| / |masked|)`` rather than skimage's
+    interp-over-bin-centers formulation — identical on discrete uint8
+    levels up to the interpolation's bin-center offsets, and exactly
+    SQL-expressible, which is what makes the driver oracle closed-form.
+
+All per-pixel work is payload-local in-UDF numpy behind an
+Arrow-batched mapInPandas — same 100 TB pure-map shape as the other
+multimodal operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from combinedfeatureextraction_spark.multimodal.color import (
+    _decode_image_shaped,
+    rgb_to_hsv_numpy,
+)
+from combinedfeatureextraction_spark.multimodal.rasterize import (
+    label_components_numpy,
+)
+
+
+def equalize_hist_masked(u8: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Masked histogram equalization of a uint8 image: every pixel maps
+    through the CDF of the MASKED pixels, ``out = floor(255 · P[masked
+    <= v])`` (reference: exposure.equalize_hist(h, mask=mask),
+    FeatureExtractor.py:334 — see module docstring for the exact-CDF
+    deviation). Pixels outside the mask are mapped too (the reference
+    multiplies by the mask afterwards, so their values are inert)."""
+    u8 = np.asarray(u8)
+    sel = np.asarray(mask, dtype=bool)
+    n = int(sel.sum())
+    if n == 0:
+        return np.zeros_like(u8)
+    hist = np.bincount(u8[sel].ravel(), minlength=256)
+    cdf = np.cumsum(hist) / n
+    lut = np.floor(255.0 * cdf).astype(np.uint8)
+    return lut[u8]
+
+
+def remove_small_objects_numpy(
+    mask: np.ndarray, min_size: int, connectivity: int = 4
+) -> np.ndarray:
+    """Drop connected components smaller than ``min_size`` pixels
+    (skimage remove_small_objects; its default connectivity=1 is
+    4-connectivity in 2-D)."""
+    if min_size <= 1 or not mask.any():
+        return mask
+    labels, nlab = label_components_numpy(mask, connectivity)
+    sizes = np.bincount(labels.ravel(), minlength=nlab + 1)
+    keep = sizes >= min_size
+    keep[0] = False
+    return keep[labels]
+
+
+def remove_small_holes_numpy(
+    mask: np.ndarray, area_threshold: int, connectivity: int = 4
+) -> np.ndarray:
+    """Fill background components NOT touching the border (holes) whose
+    area is below ``area_threshold`` (skimage remove_small_holes,
+    FeatureExtractor.py:342)."""
+    if area_threshold <= 0 or not mask.any():
+        return mask
+    labels, nlab = label_components_numpy(~mask, connectivity)
+    if nlab == 0:
+        return mask
+    border = np.zeros(nlab + 1, dtype=bool)
+    border[labels[0, :]] = True
+    border[labels[-1, :]] = True
+    border[labels[:, 0]] = True
+    border[labels[:, -1]] = True
+    sizes = np.bincount(labels.ravel(), minlength=nlab + 1)
+    fill = (~border) & (sizes < area_threshold)
+    fill[0] = False
+    return mask | fill[labels]
+
+
+def sub_compartment_masks_numpy(
+    rgb: np.ndarray,
+    mask: np.ndarray,
+    params: Sequence[Mapping],
+    hole_area: int = 10,
+) -> np.ndarray:
+    """One-hot (h, w, len(params)) sub-compartment masks — the
+    reference cascade (see module docstring). ``rgb``: (h, w, 3) uint8
+    values 0..255; ``mask``: (h, w) bool boundary mask; ``params``:
+    reference-style dicts with name / threshold / min_size (the last
+    entry additionally receives the remainder)."""
+    h, w = mask.shape
+    hsv = rgb_to_hsv_numpy(np.asarray(rgb, dtype=np.float64) / 255.0)
+    s_u8 = (255.0 * hsv[..., 1]).astype(np.uint8)
+    v_u8 = (255.0 * hsv[..., 2]).astype(np.uint8)
+    remainder = np.asarray(mask, dtype=bool).copy()
+    out = np.zeros((h, w, len(params)), dtype=bool)
+    for idx, param in enumerate(params):
+        thr = int(param.get("threshold", 0))
+        min_size = int(param.get("min_size", 0))
+        if str(param.get("name", "")).lower() == "nuclei":
+            inv_v = 255 - v_u8
+            eq = equalize_hist_masked(inv_v, mask)
+            sub = (eq > thr) & remainder & mask
+            sub = remove_small_holes_numpy(sub, hole_area)
+            # watershed(-EDT, per-component peak markers)>0 == sub (see
+            # module docstring) — skipped as the exact identity
+            sub = remove_small_objects_numpy(sub, min_size)
+        else:
+            sub = (s_u8 > thr) & remainder & mask
+            sub = remove_small_objects_numpy(sub, min_size)
+        out[sub, idx] = True
+        remainder &= ~sub
+    out[remainder & np.asarray(mask, dtype=bool), len(params) - 1] = True
+    return out
+
+
+SUBCOMP_SCHEMA_FIELDS = [
+    T.StructField("c1_area", T.LongType(), False),
+    T.StructField("c2_area", T.LongType(), False),
+    T.StructField("c3_area", T.LongType(), False),
+    T.StructField("c1_mean_v", T.DoubleType(), True),
+    T.StructField("c2_mean_v", T.DoubleType(), True),
+    T.StructField("c3_mean_v", T.DoubleType(), True),
+]
+
+
+def sub_compartment_features(
+    media: DataFrame,
+    params: Sequence[Mapping],
+    payload_col: str = "payload",
+    mask_col: str = "mask_payload",
+    id_col: str = "media_id",
+    hole_area: int = 10,
+) -> DataFrame:
+    """Per-row cascade → per-compartment area + mean uint8 V (the
+    one-hot masks feeding a per-compartment stat, the reference's
+    calculate_*_features consumption shape). Exactly 3 compartments
+    (the reference's nuclei/eos/luminal configuration)."""
+    if len(params) != 3:
+        raise ValueError("sub_compartment_features expects 3 params")
+    cols = [id_col, payload_col, mask_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, mpay in zip(
+                b[id_col], b[payload_col], b[mask_col]
+            ):
+                img = _decode_image_shaped(bytes(payload))
+                m = _decode_image_shaped(bytes(mpay))[..., 0] > 0
+                oh = sub_compartment_masks_numpy(img, m, params, hole_area)
+                v_u8 = (
+                    255.0
+                    * rgb_to_hsv_numpy(img.astype(np.float64) / 255.0)[..., 2]
+                ).astype(np.uint8)
+                areas = []
+                means = []
+                for c in range(3):
+                    sel = oh[..., c]
+                    areas.append(int(sel.sum()))
+                    means.append(
+                        float(v_u8[sel].mean()) if sel.any() else 0.0
+                    )
+                rows.append((mid, *areas, *means))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col] + [f.name for f in SUBCOMP_SCHEMA_FIELDS],
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, media.schema[id_col].dataType, False)]
+        + SUBCOMP_SCHEMA_FIELDS
+    )
+    return media.select(*cols).mapInPandas(run, schema)

@@ -1,0 +1,96 @@
+"""Sub-compartment cascade (multimodal.subcompartment): primitive
+pinning (equalize / holes / small objects) + cascade invariants."""
+
+import numpy as np
+
+from combinedfeatureextraction_spark.multimodal.subcompartment import (
+    equalize_hist_masked,
+    remove_small_holes_numpy,
+    remove_small_objects_numpy,
+    sub_compartment_masks_numpy,
+)
+
+PARAMS = [
+    {"name": "nuclei", "threshold": 200, "min_size": 4},
+    {"name": "eos", "threshold": 60, "min_size": 4},
+    {"name": "luminal", "threshold": 255, "min_size": 0},
+]
+
+
+def test_equalize_hist_masked_exact_cdf():
+    img = np.array([[10, 10, 50], [50, 50, 200]], dtype=np.uint8)
+    mask = np.ones((2, 3), bool)
+    out = equalize_hist_masked(img, mask)
+    # cdf: 10 -> 2/6, 50 -> 5/6, 200 -> 1
+    assert out[0, 0] == int(255 * 2 / 6)
+    assert out[0, 2] == int(255 * 5 / 6)
+    assert out[1, 2] == 255
+    # mask restricts the CDF: with only the top row masked,
+    # cdf(10)=2/3, cdf(50)=1 — and unmasked pixels still map
+    out2 = equalize_hist_masked(img, np.array([[1, 1, 1], [0, 0, 0]], bool))
+    assert out2[0, 0] == int(255 * 2 / 3)
+    assert out2[1, 2] == 255  # 200 > all masked values -> cdf 1
+
+
+def test_remove_small_objects_and_holes():
+    m = np.zeros((7, 9), bool)
+    m[1:5, 1:5] = True   # 16 px object with a hole
+    m[2:4, 2:4] = False  # 4 px hole
+    m[5, 7] = True       # 1 px speck
+    kept = remove_small_objects_numpy(m, 5)
+    assert not kept[5, 7] and kept[1, 1]
+    filled = remove_small_holes_numpy(m, area_threshold=5)
+    assert filled[2, 2] and not filled[0, 0]
+    # hole >= threshold stays
+    assert not remove_small_holes_numpy(m, area_threshold=4)[2, 2]
+    # background touching the border is never a hole
+    edge = np.ones((4, 4), bool)
+    edge[0, 0] = False
+    assert not remove_small_holes_numpy(edge, 10)[0, 0]
+
+
+def _stripe_image(w1, w2, a, bb):
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :w1] = 20 + a
+    img[:, w1 : w1 + w2] = (200, 100 + bb, 100 + bb)
+    img[:, w1 + w2 :] = (220, 220, 220)
+    return img
+
+
+def test_cascade_matches_fixture_closed_form():
+    """The q_subcompartment oracle's closed form, re-derived here per
+    fixture row directly against the numpy cascade."""
+    for v in range(60):
+        w1, w2 = 2 + v % 3, 2 + v % 2
+        img = _stripe_image(w1, w2, v % 20, v % 50)
+        mask = np.ones((8, 8), bool)
+        oh = sub_compartment_masks_numpy(img, mask, PARAMS)
+        assert oh[..., 0].sum() == 8 * w1, v
+        assert oh[..., 1].sum() == 8 * w2, v
+        assert oh[..., 2].sum() == 8 * (8 - w1 - w2), v
+        # one-hot partition of the mask: each masked pixel in EXACTLY one
+        assert np.array_equal(oh.sum(axis=-1), mask.astype(np.int64))
+
+
+def test_cascade_remainder_and_mask_respected():
+    img = _stripe_image(3, 2, 5, 10)
+    mask = np.zeros((8, 8), bool)
+    mask[:4] = True  # only the top half is in-boundary
+    oh = sub_compartment_masks_numpy(img, mask, PARAMS)
+    # nothing outside the boundary mask is ever assigned
+    assert not oh[4:].any()
+    assert np.array_equal(oh.sum(axis=-1), mask.astype(np.int64))
+    # min_size filters a too-small nuclei stripe into the remainder
+    oh2 = sub_compartment_masks_numpy(
+        img,
+        mask,
+        [
+            {"name": "nuclei", "threshold": 200, "min_size": 50},
+            {"name": "eos", "threshold": 60, "min_size": 4},
+            {"name": "luminal", "threshold": 255, "min_size": 0},
+        ],
+    )
+    assert oh2[..., 0].sum() == 0
+    # the dropped nuclei pixels land in the LAST compartment (remainder):
+    # 3 nuclei cols + 3 luminal cols, top 4 rows = 24 px
+    assert oh2[..., 2].sum() == 24
