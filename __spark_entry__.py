@@ -1704,6 +1704,15 @@ def q_subcompartment(spark, sf_dir):
         _r("c1_mean_v").alias("c1_mean_v"),
         _r("c2_mean_v").alias("c2_mean_v"),
         _r("c3_mean_v").alias("c3_mean_v"),
+        _r("c1_dt_sum").alias("c1_dt_sum"),
+        _r("c2_dt_sum").alias("c2_dt_sum"),
+        _r("c3_dt_sum").alias("c3_dt_sum"),
+        _r("c1_dt_mean").alias("c1_dt_mean"),
+        _r("c2_dt_mean").alias("c2_dt_mean"),
+        _r("c3_dt_mean").alias("c3_dt_mean"),
+        _r("c1_dt_max").alias("c1_dt_max"),
+        _r("c2_dt_max").alias("c2_dt_max"),
+        _r("c3_dt_max").alias("c3_dt_max"),
     )
 
 
@@ -2261,22 +2270,60 @@ SELECT d.vec_id,
         / ((4.0 * (d.w + d.h) + 40.0) / 2), 6) AS ring_avg_thickness
 FROM dims d CROSS JOIN q
 """,
-        # subcompartment: stripe-fixture closed form (see q_subcompartment)
+        # subcompartment: stripe-fixture closed form (see q_subcompartment).
+        # Each compartment is a full-height stripe of width w, so its
+        # standalone-mask exact EDT is axis-aligned: dval = least(r+1,
+        # 8-r, c+1, w-c) — enumerated per cell and aggregated.
         "subcompartment": """
 WITH p AS (
   SELECT vec_id,
     2 + vec_id % 3 AS w1, 2 + vec_id % 2 AS w2,
     vec_id % 20 AS a
   FROM embeddings
+),
+comp AS (
+  SELECT vec_id, 1 AS k, w1 AS w FROM p
+  UNION ALL SELECT vec_id, 2, w2 FROM p
+  UNION ALL SELECT vec_id, 3, 8 - w1 - w2 FROM p
+),
+cells AS (
+  SELECT comp.vec_id, comp.k,
+         least(rr.r + 1, 8 - rr.r, cc.c + 1, comp.w - cc.c) AS dval
+  FROM comp
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) rr
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) cc
+  WHERE cc.c < comp.w
+),
+agg AS (
+  SELECT vec_id,
+    sum(CASE WHEN k = 1 THEN dval END) AS s1,
+    sum(CASE WHEN k = 2 THEN dval END) AS s2,
+    sum(CASE WHEN k = 3 THEN dval END) AS s3,
+    avg(CASE WHEN k = 1 THEN dval END) AS m1,
+    avg(CASE WHEN k = 2 THEN dval END) AS m2,
+    avg(CASE WHEN k = 3 THEN dval END) AS m3,
+    max(CASE WHEN k = 1 THEN dval END) AS x1,
+    max(CASE WHEN k = 2 THEN dval END) AS x2,
+    max(CASE WHEN k = 3 THEN dval END) AS x3
+  FROM cells GROUP BY vec_id
 )
-SELECT vec_id AS media_id,
-  CAST(8 * w1 AS BIGINT) AS c1_area,
-  CAST(8 * w2 AS BIGINT) AS c2_area,
-  CAST(8 * (8 - w1 - w2) AS BIGINT) AS c3_area,
-  round(CAST(20 + a AS DOUBLE), 6) AS c1_mean_v,
+SELECT p.vec_id AS media_id,
+  CAST(8 * p.w1 AS BIGINT) AS c1_area,
+  CAST(8 * p.w2 AS BIGINT) AS c2_area,
+  CAST(8 * (8 - p.w1 - p.w2) AS BIGINT) AS c3_area,
+  round(CAST(20 + p.a AS DOUBLE), 6) AS c1_mean_v,
   round(200.0, 6) AS c2_mean_v,
-  round(220.0, 6) AS c3_mean_v
-FROM p
+  round(220.0, 6) AS c3_mean_v,
+  round(CAST(agg.s1 AS DOUBLE), 6) AS c1_dt_sum,
+  round(CAST(agg.s2 AS DOUBLE), 6) AS c2_dt_sum,
+  round(CAST(agg.s3 AS DOUBLE), 6) AS c3_dt_sum,
+  round(CAST(agg.m1 AS DOUBLE), 6) AS c1_dt_mean,
+  round(CAST(agg.m2 AS DOUBLE), 6) AS c2_dt_mean,
+  round(CAST(agg.m3 AS DOUBLE), 6) AS c3_dt_mean,
+  round(CAST(agg.x1 AS DOUBLE), 6) AS c1_dt_max,
+  round(CAST(agg.x2 AS DOUBLE), 6) AS c2_dt_max,
+  round(CAST(agg.x3 AS DOUBLE), 6) AS c3_dt_max
+FROM p JOIN agg USING (vec_id)
 """,
         # media_decode_flac: losslessness dual — decoded PCM must equal
         # the planted arithmetic exactly (see q_media_decode_flac)

@@ -50,6 +50,7 @@ from combinedfeatureextraction_spark.multimodal.color import (
     rgb_to_hsv_numpy,
 )
 from combinedfeatureextraction_spark.multimodal.rasterize import (
+    distance_transform_numpy,
     label_components_numpy,
 )
 
@@ -153,6 +154,15 @@ SUBCOMP_SCHEMA_FIELDS = [
     T.StructField("c1_mean_v", T.DoubleType(), True),
     T.StructField("c2_mean_v", T.DoubleType(), True),
     T.StructField("c3_mean_v", T.DoubleType(), True),
+    T.StructField("c1_dt_sum", T.DoubleType(), True),
+    T.StructField("c2_dt_sum", T.DoubleType(), True),
+    T.StructField("c3_dt_sum", T.DoubleType(), True),
+    T.StructField("c1_dt_mean", T.DoubleType(), True),
+    T.StructField("c2_dt_mean", T.DoubleType(), True),
+    T.StructField("c3_dt_mean", T.DoubleType(), True),
+    T.StructField("c1_dt_max", T.DoubleType(), True),
+    T.StructField("c2_dt_max", T.DoubleType(), True),
+    T.StructField("c3_dt_max", T.DoubleType(), True),
 ]
 
 
@@ -164,10 +174,18 @@ def sub_compartment_features(
     id_col: str = "media_id",
     hole_area: int = 10,
 ) -> DataFrame:
-    """Per-row cascade → per-compartment area + mean uint8 V (the
-    one-hot masks feeding a per-compartment stat, the reference's
-    calculate_*_features consumption shape). Exactly 3 compartments
-    (the reference's nuclei/eos/luminal configuration)."""
+    """Per-row cascade → per-compartment area, mean uint8 V, and the
+    reference's distance-transform features (calculate_distance_
+    transform_features, FeatureExtractor.py:383-430: EDT of each
+    compartment mask with dt==0 → NaN, then nansum/nanmean/nanmax —
+    i.e. sum/mean/max over the compartment's interior distances; the
+    by-object-area / by-compartment-area normalized variants are exact
+    ratios of these outputs). Deviation: the EDT is the EXACT separable
+    Euclidean transform (rasterize.distance_transform_numpy) rather
+    than cv2.distanceTransform's maskSize-5 chamfer APPROXIMATION —
+    strictly more accurate, and what the closed-form oracle assumes.
+    Exactly 3 compartments (the reference's nuclei/eos/luminal
+    configuration)."""
     if len(params) != 3:
         raise ValueError("sub_compartment_features expects 3 params")
     cols = [id_col, payload_col, mask_col]
@@ -187,13 +205,26 @@ def sub_compartment_features(
                 ).astype(np.uint8)
                 areas = []
                 means = []
+                dt_sum = []
+                dt_mean = []
+                dt_max = []
                 for c in range(3):
                     sel = oh[..., c]
                     areas.append(int(sel.sum()))
                     means.append(
                         float(v_u8[sel].mean()) if sel.any() else 0.0
                     )
-                rows.append((mid, *areas, *means))
+                    if sel.any():
+                        d = distance_transform_numpy(sel)[sel]
+                        dt_sum.append(float(d.sum()))
+                        dt_mean.append(float(d.mean()))
+                        dt_max.append(float(d.max()))
+                    else:  # reference's empty-compartment 0 convention
+                        dt_sum.append(0.0)
+                        dt_mean.append(0.0)
+                        dt_max.append(0.0)
+                rows.append((mid, *areas, *means, *dt_sum, *dt_mean,
+                             *dt_max))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col] + [f.name for f in SUBCOMP_SCHEMA_FIELDS],

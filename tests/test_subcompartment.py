@@ -94,3 +94,22 @@ def test_cascade_remainder_and_mask_respected():
     # the dropped nuclei pixels land in the LAST compartment (remainder):
     # 3 nuclei cols + 3 luminal cols, top 4 rows = 24 px
     assert oh2[..., 2].sum() == 24
+
+
+def test_compartment_distance_transform_closed_form():
+    """Full-height stripe masks have axis-aligned exact EDT — the
+    q_subcompartment oracle's dval = min(r+1, 8-r, c+1, w-c)."""
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        distance_transform_numpy,
+    )
+
+    for w in (2, 3, 4):
+        sel = np.zeros((8, 8), bool)
+        sel[:, 2 : 2 + w] = True
+        d = distance_transform_numpy(sel)[sel].reshape(8, w)
+        want = np.array(
+            [[min(r + 1, 8 - r, c + 1, w - c) for c in range(w)]
+             for r in range(8)],
+            dtype=float,
+        )
+        assert np.array_equal(d, want), w
