@@ -1716,6 +1716,63 @@ def q_subcompartment(spark, sf_dir):
     )
 
 
+def q_subcompartment_texture(spark, sf_dir):
+    """Per-compartment GLCM TEXTURE over the segmentation cascade — the
+    reference's calculate_texture_features (FeatureExtractor.py:500-520:
+    image zeroed outside each compartment, rgb2gray·255 uint8,
+    graycomatrix(distance 1, angle 0, symmetric, normed), graycoprops
+    contrast/homogeneity/correlation/energy). Same three-stripe fixture
+    as q_subcompartment, where each compartment-masked image is a
+    full-height stripe of gray level g on a 0 background — so the
+    symmetric co-occurrence matrix has exactly FOUR nonzero cells
+    ((g,g), (g,0), (0,g), (0,0)) and every prop is closed-form in
+    (w, g, nb) where nb = the stripe's boundary count (edge stripes 1,
+    the middle stripe 2 — each boundary contributes 8 directed mixed
+    pairs): contrast = nb·g²/7, homogeneity = (56−8nb)/56 +
+    (8nb/56)/(1+g²), energy = sqrt(((w−1)/7)² + 2(nb/14)² +
+    ((8−w−nb)/7)²), correlation from the two-level marginal
+    Pg = (2w−2+nb)/14. The gray level's float chain (channel/255 ·
+    luma weight, summed left-to-right, ×255, floor) is mirrored
+    verbatim in the SQL so the truncated integer levels agree exactly;
+    the prop algebra agrees to ~1e-12 (round 6dp both sides)."""
+    from combinedfeatureextraction_spark.multimodal.subcompartment import (
+        sub_compartment_texture,
+    )
+
+    _IMG_HDR = "50360A3820380A3235350A"
+    _MSK_HDR = "50350A3820380A3235350A"
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
+    img_body = F.expr(
+        "array_join(transform(sequence(0, 63), j -> "
+        "CASE WHEN j % 8 < 2 + vec_id % 3 THEN "
+        "  repeat(lpad(hex(20 + vec_id % 20), 2, '0'), 3) "
+        "WHEN j % 8 < 4 + vec_id % 3 + vec_id % 2 THEN concat('C8', "
+        "  lpad(hex(100 + vec_id % 50), 2, '0'), "
+        "  lpad(hex(100 + vec_id % 50), 2, '0')) "
+        "ELSE 'DCDCDC' END), '')"
+    )
+    media = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(_IMG_HDR), img_body)).alias("payload"),
+        F.unhex(F.concat(F.lit(_MSK_HDR), F.lit("FF" * 64))).alias(
+            "mask_payload"
+        ),
+    )
+    out = sub_compartment_texture(
+        media,
+        params=[
+            {"name": "nuclei", "threshold": 200, "min_size": 4},
+            {"name": "eos", "threshold": 60, "min_size": 4},
+            {"name": "luminal", "threshold": 255, "min_size": 0},
+        ],
+    )
+    sel = ["media_id"]
+    for k in (1, 2, 3):
+        for name in ("contrast", "homogeneity", "correlation", "energy"):
+            sel.append(_r(f"c{k}_{name}").alias(f"c{k}_{name}"))
+    return out.select(*sel)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixing sample (operators.sampling): per-lang
     keep fractions decided by an md5-derived uniform key — a pure
@@ -1841,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r05: new queries / changed impl or plan — gate first --------
         "media_decode_flac": q_media_decode_flac,  # NEW r05 (FLAC codec)
         "subcompartment": q_subcompartment,  # NEW r05 (segmentation cascade)
+        "subcompartment_texture": q_subcompartment_texture,  # NEW r05 (GLCM)
         "polygon_ring": q_polygon_ring,  # NEW r05 (boundary-ring composite)
         "color_stats": q_color_stats,  # NEW r05 (HSV/LAB masked stats)
         "media_decode_jpeg": q_media_decode_jpeg,  # impl changed (LUT entropy decode)
@@ -1890,10 +1948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_sum": q_payload_sum,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
-        "asof_tolerance": q_asof_tolerance,
         # ---- position 51+ : rotated out of the r05 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r04.json
         # and remains in the repo harness / pytest gate)
+        "asof_tolerance": q_asof_tolerance,
         "asof_join_salted": q_asof_join_salted,
         "component_count": q_component_count,
         "stratified_sample": q_stratified_sample,
@@ -2324,6 +2382,63 @@ SELECT p.vec_id AS media_id,
   round(CAST(agg.x2 AS DOUBLE), 6) AS c2_dt_max,
   round(CAST(agg.x3 AS DOUBLE), 6) AS c3_dt_max
 FROM p JOIN agg USING (vec_id)
+""",
+        # subcompartment_texture: four-cell GLCM closed forms in (w, g)
+        # per compartment stripe (see q_subcompartment_texture); the
+        # gray-level float chain mirrors the numpy op order exactly.
+        "subcompartment_texture": """
+WITH p AS (
+  SELECT vec_id,
+    2 + vec_id % 3 AS w1, 2 + vec_id % 2 AS w2,
+    vec_id % 20 AS a, vec_id % 50 AS bb
+  FROM embeddings
+),
+comp AS (
+  -- nb = number of stripe/background boundaries: edge stripes (k=1
+  -- starts at col 0, k=3 ends at col 7) have ONE, the middle stripe
+  -- (k=2) has TWO -> 8*nb directed (g,0)/(0,g) pairs
+  SELECT vec_id, 1 AS k, w1 AS w, 1 AS nb,
+    CAST(floor(255 * (((20 + a) / 255.0) * 0.2125
+      + ((20 + a) / 255.0) * 0.7154
+      + ((20 + a) / 255.0) * 0.0721)) AS BIGINT) AS g FROM p
+  UNION ALL
+  SELECT vec_id, 2, w2, 2,
+    CAST(floor(255 * ((200 / 255.0) * 0.2125
+      + ((100 + bb) / 255.0) * 0.7154
+      + ((100 + bb) / 255.0) * 0.0721)) AS BIGINT) FROM p
+  UNION ALL
+  SELECT vec_id, 3, 8 - w1 - w2, 1,
+    CAST(floor(255 * ((220 / 255.0) * 0.2125
+      + (220 / 255.0) * 0.7154
+      + (220 / 255.0) * 0.0721)) AS BIGINT) FROM p
+),
+props AS (
+  SELECT vec_id, k,
+    nb * g * g / 7.0 AS contrast,
+    (56.0 - 8.0 * nb) / 56.0
+      + (8.0 * nb / 56.0) / (1.0 + g * g) AS homogeneity,
+    (g * g * (w - 1) / 7.0
+       - pow(g * (2.0 * w - 2 + nb) / 14.0, 2))
+      / (g * g * (2.0 * w - 2 + nb) / 14.0
+         - pow(g * (2.0 * w - 2 + nb) / 14.0, 2)) AS correlation,
+    sqrt(pow((w - 1) / 7.0, 2) + 2 * pow(nb / 14.0, 2)
+         + pow((8 - w - nb) / 7.0, 2)) AS energy
+  FROM comp
+)
+SELECT vec_id AS media_id,
+  round(max(CASE WHEN k = 1 THEN contrast END), 6) AS c1_contrast,
+  round(max(CASE WHEN k = 1 THEN homogeneity END), 6) AS c1_homogeneity,
+  round(max(CASE WHEN k = 1 THEN correlation END), 6) AS c1_correlation,
+  round(max(CASE WHEN k = 1 THEN energy END), 6) AS c1_energy,
+  round(max(CASE WHEN k = 2 THEN contrast END), 6) AS c2_contrast,
+  round(max(CASE WHEN k = 2 THEN homogeneity END), 6) AS c2_homogeneity,
+  round(max(CASE WHEN k = 2 THEN correlation END), 6) AS c2_correlation,
+  round(max(CASE WHEN k = 2 THEN energy END), 6) AS c2_energy,
+  round(max(CASE WHEN k = 3 THEN contrast END), 6) AS c3_contrast,
+  round(max(CASE WHEN k = 3 THEN homogeneity END), 6) AS c3_homogeneity,
+  round(max(CASE WHEN k = 3 THEN correlation END), 6) AS c3_correlation,
+  round(max(CASE WHEN k = 3 THEN energy END), 6) AS c3_energy
+FROM props GROUP BY vec_id
 """,
         # media_decode_flac: losslessness dual — decoded PCM must equal
         # the planted arithmetic exactly (see q_media_decode_flac)

@@ -235,3 +235,102 @@ def sub_compartment_features(
         + SUBCOMP_SCHEMA_FIELDS
     )
     return media.select(*cols).mapInPandas(run, schema)
+
+
+def rgb_to_gray_u8(rgb: np.ndarray) -> np.ndarray:
+    """skimage rgb2gray luma (0.2125/0.7154/0.0721 on [0,1] channels)
+    scaled back to uint8 — the reference's compartment-texture gray
+    chain (FeatureExtractor.py:508-509: rgb2gray then (·255) uint8
+    truncation). The float op order here is mirrored verbatim by the
+    SQL oracle so the truncated integer levels agree exactly."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    gray = (
+        (rgb[..., 0] / 255.0) * 0.2125
+        + (rgb[..., 1] / 255.0) * 0.7154
+        + (rgb[..., 2] / 255.0) * 0.0721
+    )
+    return (255.0 * gray).astype(np.uint8)
+
+
+def glcm_props_numpy(gray_u8: np.ndarray) -> tuple:
+    """graycomatrix([1], [0], levels=256, symmetric, normed) +
+    graycoprops contrast/homogeneity/correlation/energy
+    (FeatureExtractor.py:510-513) — horizontal distance-1 pairs,
+    symmetric normalized co-occurrence, computed sparsely over the
+    distinct pair values (the 256×256 matrix is never materialized).
+    Correlation is 1 when the marginal variance is 0 (skimage's
+    degenerate convention)."""
+    a = np.asarray(gray_u8, dtype=np.int64)
+    if a.shape[1] < 2:
+        return 0.0, 0.0, 1.0, 0.0
+    i = a[:, :-1].ravel()
+    j = a[:, 1:].ravel()
+    keys = np.concatenate([i * 256 + j, j * 256 + i])  # symmetric
+    uk, cnt = np.unique(keys, return_counts=True)
+    tot = float(keys.size)
+    x = uk // 256
+    y = uk % 256
+    p = cnt / tot
+    contrast = float((p * (x - y) ** 2).sum())
+    homogeneity = float((p / (1.0 + (x - y) ** 2)).sum())
+    energy = float(np.sqrt((p * p).sum()))
+    pij = float((p * x * y).sum())
+    # symmetric P -> identical marginals
+    marg = np.zeros(256)
+    np.add.at(marg, x, p)
+    lv = np.arange(256)
+    mu = float((lv * marg).sum())
+    var = float(((lv - mu) ** 2 * marg).sum())
+    corr = 1.0 if var == 0 else (pij - mu * mu) / var
+    return contrast, homogeneity, corr, energy
+
+
+TEXTURE_SCHEMA_FIELDS = [
+    T.StructField(f"c{k}_{name}", T.DoubleType(), True)
+    for k in (1, 2, 3)
+    for name in ("contrast", "homogeneity", "correlation", "energy")
+]
+
+
+def sub_compartment_texture(
+    media: DataFrame,
+    params: Sequence[Mapping],
+    payload_col: str = "payload",
+    mask_col: str = "mask_payload",
+    id_col: str = "media_id",
+    hole_area: int = 10,
+) -> DataFrame:
+    """Per-row cascade → per-compartment GLCM texture (the reference's
+    calculate_texture_features, FeatureExtractor.py:500-520: image
+    zeroed outside the compartment via bitwise_and, rgb2gray·255 uint8,
+    distance-1/angle-0 symmetric normed graycomatrix, graycoprops
+    contrast/homogeneity/correlation/energy). Same pure-map plumbing as
+    sub_compartment_features."""
+    if len(params) != 3:
+        raise ValueError("sub_compartment_texture expects 3 params")
+    cols = [id_col, payload_col, mask_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, mpay in zip(
+                b[id_col], b[payload_col], b[mask_col]
+            ):
+                img = _decode_image_shaped(bytes(payload))
+                m = _decode_image_shaped(bytes(mpay))[..., 0] > 0
+                oh = sub_compartment_masks_numpy(img, m, params, hole_area)
+                vals = []
+                for c in range(3):
+                    masked = np.where(oh[..., c : c + 1], img, 0.0)
+                    vals.extend(glcm_props_numpy(rgb_to_gray_u8(masked)))
+                rows.append((mid, *vals))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col] + [f.name for f in TEXTURE_SCHEMA_FIELDS],
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, media.schema[id_col].dataType, False)]
+        + TEXTURE_SCHEMA_FIELDS
+    )
+    return media.select(*cols).mapInPandas(run, schema)

@@ -113,3 +113,43 @@ def test_compartment_distance_transform_closed_form():
             dtype=float,
         )
         assert np.array_equal(d, want), w
+
+
+def _brute_glcm_props(gray):
+    """Dense 256x256 symmetric normed GLCM + graycoprops formulas —
+    independent dual of the sparse implementation."""
+    P = np.zeros((256, 256))
+    a = gray.astype(np.int64)
+    for r in range(a.shape[0]):
+        for c in range(a.shape[1] - 1):
+            P[a[r, c], a[r, c + 1]] += 1
+            P[a[r, c + 1], a[r, c]] += 1
+    P /= P.sum()
+    ii, jj = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    contrast = (P * (ii - jj) ** 2).sum()
+    homog = (P / (1.0 + (ii - jj) ** 2)).sum()
+    energy = np.sqrt((P * P).sum())
+    pi = P.sum(axis=1)
+    mu = (np.arange(256) * pi).sum()
+    var = ((np.arange(256) - mu) ** 2 * pi).sum()
+    pij = (P * ii * jj).sum()
+    corr = 1.0 if var == 0 else (pij - mu * mu) / var
+    return contrast, homog, corr, energy
+
+
+def test_glcm_props_matches_dense_bruteforce():
+    from combinedfeatureextraction_spark.multimodal.subcompartment import (
+        glcm_props_numpy,
+    )
+
+    rng = np.random.default_rng(41)
+    cases = [rng.integers(0, 256, size=(6, 9)).astype(np.uint8)
+             for _ in range(4)]
+    # middle stripe (two boundaries) + flat image (degenerate corr)
+    mid = np.zeros((8, 8), np.uint8)
+    mid[:, 3:6] = 130
+    cases += [mid, np.full((5, 5), 7, np.uint8)]
+    for g in cases:
+        got = glcm_props_numpy(g)
+        want = _brute_glcm_props(g)
+        assert np.allclose(got, want, atol=1e-12), (got, want)
