@@ -1773,6 +1773,64 @@ def q_subcompartment_texture(spark, sf_dir):
     return out.select(*sel)
 
 
+def q_subcompartment_morph(spark, sf_dir):
+    """Per-compartment MORPHOLOGY over the segmentation cascade — the
+    reference's calculate_morphological_features
+    (FeatureExtractor.py:521-575): compartment area fractions, nuclei
+    count + mean nuclear area (8-connected labeling), per-nucleus
+    aspect ratio from the inertia-tensor ellipse axes (reference's
+    axis_major/axis_minor, 0 when minor is 0) with mean/std over
+    nuclei, total-object perimeter (4-edge-count convention, the
+    polygon_ring deviation) and total-object aspect. Closed form on
+    the stripe fixture: the nuclei stripe is one 8×w1 rectangle whose
+    discrete-uniform moments give axis lengths 4√((n²−1)/12), so
+    aspect = √(63/(w1²−1)); the full-square object has equal axes
+    (aspect 1) and edge perimeter 32."""
+    from combinedfeatureextraction_spark.multimodal.subcompartment import (
+        sub_compartment_morphology,
+    )
+
+    _IMG_HDR = "50360A3820380A3235350A"
+    _MSK_HDR = "50350A3820380A3235350A"
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id"))
+    img_body = F.expr(
+        "array_join(transform(sequence(0, 63), j -> "
+        "CASE WHEN j % 8 < 2 + vec_id % 3 THEN "
+        "  repeat(lpad(hex(20 + vec_id % 20), 2, '0'), 3) "
+        "WHEN j % 8 < 4 + vec_id % 3 + vec_id % 2 THEN concat('C8', "
+        "  lpad(hex(100 + vec_id % 50), 2, '0'), "
+        "  lpad(hex(100 + vec_id % 50), 2, '0')) "
+        "ELSE 'DCDCDC' END), '')"
+    )
+    media = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(_IMG_HDR), img_body)).alias("payload"),
+        F.unhex(F.concat(F.lit(_MSK_HDR), F.lit("FF" * 64))).alias(
+            "mask_payload"
+        ),
+    )
+    out = sub_compartment_morphology(
+        media,
+        params=[
+            {"name": "nuclei", "threshold": 200, "min_size": 4},
+            {"name": "eos", "threshold": 60, "min_size": 4},
+            {"name": "luminal", "threshold": 255, "min_size": 0},
+        ],
+    )
+    return out.select(
+        "media_id",
+        _r("c1_area_frac").alias("c1_area_frac"),
+        _r("c2_area_frac").alias("c2_area_frac"),
+        _r("c3_area_frac").alias("c3_area_frac"),
+        "nuclei_number",
+        _r("nuclei_mean_area").alias("nuclei_mean_area"),
+        _r("nuclei_aspect_mean").alias("nuclei_aspect_mean"),
+        _r("nuclei_aspect_std").alias("nuclei_aspect_std"),
+        "object_perimeter",
+        _r("object_aspect").alias("object_aspect"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixing sample (operators.sampling): per-lang
     keep fractions decided by an md5-derived uniform key — a pure
@@ -1899,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_flac": q_media_decode_flac,  # NEW r05 (FLAC codec)
         "subcompartment": q_subcompartment,  # NEW r05 (segmentation cascade)
         "subcompartment_texture": q_subcompartment_texture,  # NEW r05 (GLCM)
+        "subcompartment_morph": q_subcompartment_morph,  # NEW r05 (morphology)
         "polygon_ring": q_polygon_ring,  # NEW r05 (boundary-ring composite)
         "color_stats": q_color_stats,  # NEW r05 (HSV/LAB masked stats)
         "media_decode_jpeg": q_media_decode_jpeg,  # impl changed (LUT entropy decode)
@@ -1947,10 +2006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_passthrough": q_payload_passthrough,
         "payload_sum": q_payload_sum,
         "text_quality": q_text_quality,
-        "salted_agg": q_salted_agg,
         # ---- position 51+ : rotated out of the r05 driver window -------
         # (every one below has a driver-green row in CORRECTNESS_r04.json
         # and remains in the repo harness / pytest gate)
+        "salted_agg": q_salted_agg,
         "asof_tolerance": q_asof_tolerance,
         "asof_join_salted": q_asof_join_salted,
         "component_count": q_component_count,
@@ -2439,6 +2498,26 @@ SELECT vec_id AS media_id,
   round(max(CASE WHEN k = 3 THEN correlation END), 6) AS c3_correlation,
   round(max(CASE WHEN k = 3 THEN energy END), 6) AS c3_energy
 FROM props GROUP BY vec_id
+""",
+        # subcompartment_morph: stripe closed forms (see q_subcompartment_morph)
+        "subcompartment_morph": """
+WITH p AS (
+  SELECT vec_id,
+    2 + vec_id % 3 AS w1, 2 + vec_id % 2 AS w2
+  FROM embeddings
+)
+SELECT vec_id AS media_id,
+  round(8.0 * w1 / 64.0, 6) AS c1_area_frac,
+  round(8.0 * w2 / 64.0, 6) AS c2_area_frac,
+  round(8.0 * (8 - w1 - w2) / 64.0, 6) AS c3_area_frac,
+  CAST(1 AS BIGINT) AS nuclei_number,
+  round(8.0 * w1, 6) AS nuclei_mean_area,
+  round((4 * sqrt(63.0 / 12.0))
+        / (4 * sqrt((w1 * w1 - 1) / 12.0)), 6) AS nuclei_aspect_mean,
+  round(0.0, 6) AS nuclei_aspect_std,
+  CAST(32 AS BIGINT) AS object_perimeter,
+  round(1.0, 6) AS object_aspect
+FROM p
 """,
         # media_decode_flac: losslessness dual — decoded PCM must equal
         # the planted arithmetic exactly (see q_media_decode_flac)

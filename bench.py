@@ -65,7 +65,7 @@ def main() -> None:
         "deconvolution", "polygon_components", "polygon_watershed", "polygon_holes",
         "media_decode", "media_decode_png", "media_decode_jpeg", "polygon_edt",
         "polygon_ring", "color_stats", "media_decode_flac", "subcompartment",
-        "subcompartment_texture",
+        "subcompartment_texture", "subcompartment_morph",
         # training-data ops
         "exact_dedup", "minhash_dedup", "simhash_dedup",
         "embedding_topk", "lsh_topk", "text_quality", "fingerprint",
@@ -149,7 +149,7 @@ def main() -> None:
                      "stratified_sample", "pack_tokens", "rep_signals",
                      "top_ngram", "polygon_ring", "color_stats",
                      "media_decode_flac", "subcompartment",
-                     "subcompartment_texture")
+                     "subcompartment_texture", "subcompartment_morph")
     ]
     common_r02 = round(
         sum(timings[q] for q in _r02_common) + timings["flagship_pipeline"], 3

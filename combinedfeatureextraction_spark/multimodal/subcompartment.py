@@ -334,3 +334,123 @@ def sub_compartment_texture(
         + TEXTURE_SCHEMA_FIELDS
     )
     return media.select(*cols).mapInPandas(run, schema)
+
+
+def _axis_lengths(rr: np.ndarray, cc: np.ndarray) -> tuple[float, float]:
+    """skimage regionprops axis_major_length / axis_minor_length: 4·sqrt
+    of the inertia-tensor eigenvalues (central second moments per unit
+    area) of the component's pixel coordinates."""
+    mr, mc = rr.mean(), cc.mean()
+    mu20 = ((cc - mc) ** 2).mean()
+    mu02 = ((rr - mr) ** 2).mean()
+    mu11 = ((cc - mc) * (rr - mr)).mean()
+    common = np.sqrt(4.0 * mu11 * mu11 + (mu20 - mu02) ** 2)
+    l1 = (mu20 + mu02 + common) / 2.0
+    l2 = max((mu20 + mu02 - common) / 2.0, 0.0)
+    return 4.0 * np.sqrt(l1), 4.0 * np.sqrt(l2)
+
+
+def _edge_perimeter(mask: np.ndarray) -> int:
+    """4-neighbor boundary EDGE count (the polygon_ring convention —
+    documented deviation from regionprops' Freeman-chain contour
+    approximation)."""
+    lab = np.pad(np.asarray(mask, dtype=bool), 1)
+    edges = 0
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        edges += int((lab & ~np.roll(lab, sh, axis=ax)).sum())
+    return edges
+
+
+MORPH_SCHEMA_FIELDS = [
+    T.StructField("c1_area_frac", T.DoubleType(), True),
+    T.StructField("c2_area_frac", T.DoubleType(), True),
+    T.StructField("c3_area_frac", T.DoubleType(), True),
+    T.StructField("nuclei_number", T.LongType(), False),
+    T.StructField("nuclei_mean_area", T.DoubleType(), True),
+    T.StructField("nuclei_aspect_mean", T.DoubleType(), True),
+    T.StructField("nuclei_aspect_std", T.DoubleType(), True),
+    T.StructField("object_perimeter", T.LongType(), False),
+    T.StructField("object_aspect", T.DoubleType(), True),
+]
+
+
+def sub_compartment_morphology(
+    media: DataFrame,
+    params: Sequence[Mapping],
+    payload_col: str = "payload",
+    mask_col: str = "mask_payload",
+    id_col: str = "media_id",
+    hole_area: int = 10,
+) -> DataFrame:
+    """Per-row cascade → the reference's morphological features
+    (calculate_morphological_features, FeatureExtractor.py:521-575):
+    per-compartment area fractions of the object area, nuclei count
+    (8-connected labeling, skimage label's default connectivity=2),
+    mean nuclear area, per-nucleus aspect ratio axis_major/axis_minor
+    (0 when the minor axis is 0, the reference's convention) with
+    nanmean/nanstd over nuclei, total-object perimeter (4-edge-count
+    convention — documented deviation from regionprops' Freeman
+    approximation) and total-object aspect ratio."""
+    if len(params) != 3:
+        raise ValueError("sub_compartment_morphology expects 3 params")
+    nuclei_idx = next(
+        (i for i, p in enumerate(params)
+         if str(p.get("name", "")).lower() == "nuclei"),
+        0,
+    )
+    cols = [id_col, payload_col, mask_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, mpay in zip(
+                b[id_col], b[payload_col], b[mask_col]
+            ):
+                img = _decode_image_shaped(bytes(payload))
+                m = _decode_image_shaped(bytes(mpay))[..., 0] > 0
+                oh = sub_compartment_masks_numpy(img, m, params, hole_area)
+                obj = oh.any(axis=-1)
+                obj_area = int(obj.sum())
+                fracs = [
+                    float(oh[..., c].sum()) / obj_area if obj_area else 0.0
+                    for c in range(3)
+                ]
+                labels, nlab = label_components_numpy(
+                    oh[..., nuclei_idx], connectivity=8
+                )
+                aspects = []
+                for k in range(1, nlab + 1):
+                    rr, cc = np.nonzero(labels == k)
+                    major, minor = _axis_lengths(
+                        rr.astype(np.float64), cc.astype(np.float64)
+                    )
+                    aspects.append(major / minor if minor > 0 else 0.0)
+                n_area = float(oh[..., nuclei_idx].sum())
+                if obj_area:
+                    orr, occ = np.nonzero(obj)
+                    omaj, omin = _axis_lengths(
+                        orr.astype(np.float64), occ.astype(np.float64)
+                    )
+                    obj_aspect = omaj / omin if omin > 0 else 0.0
+                else:
+                    obj_aspect = 0.0
+                rows.append(
+                    (
+                        mid, *fracs, nlab,
+                        n_area / nlab if nlab else 0.0,
+                        float(np.mean(aspects)) if aspects else 0.0,
+                        float(np.std(aspects)) if aspects else 0.0,
+                        _edge_perimeter(obj),
+                        obj_aspect,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col] + [f.name for f in MORPH_SCHEMA_FIELDS],
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, media.schema[id_col].dataType, False)]
+        + MORPH_SCHEMA_FIELDS
+    )
+    return media.select(*cols).mapInPandas(run, schema)

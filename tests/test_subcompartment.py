@@ -153,3 +153,52 @@ def test_glcm_props_matches_dense_bruteforce():
         got = glcm_props_numpy(g)
         want = _brute_glcm_props(g)
         assert np.allclose(got, want, atol=1e-12), (got, want)
+
+
+def test_morphology_axis_and_edge_cases():
+    from combinedfeatureextraction_spark.multimodal.subcompartment import (
+        _axis_lengths,
+        _edge_perimeter,
+    )
+
+    # 1-px-wide line: minor axis 0 (reference's aspect=0 convention is
+    # applied by the operator; here just pin the axis math)
+    rr, cc = np.nonzero(np.ones((6, 1), bool))
+    maj, mi = _axis_lengths(rr.astype(float), cc.astype(float))
+    assert mi == 0.0 and abs(maj - 4 * np.sqrt(35 / 12.0)) < 1e-12
+    # full square: equal axes; edge perimeter 2(h+w)
+    sq = np.ones((8, 8), bool)
+    rr, cc = np.nonzero(sq)
+    maj, mi = _axis_lengths(rr.astype(float), cc.astype(float))
+    assert abs(maj - mi) < 1e-9
+    assert _edge_perimeter(sq) == 32
+    ring = np.ones((5, 5), bool)
+    ring[2, 2] = False
+    assert _edge_perimeter(ring) == 20 + 4  # outer + the hole
+
+
+def test_morphology_multi_nucleus_aspects():
+    """Two separated nuclei rectangles -> count 2, mean/std of the two
+    closed-form aspects, mean nuclear area."""
+    import math
+
+    from combinedfeatureextraction_spark.multimodal.rasterize import (
+        label_components_numpy,
+    )
+    from combinedfeatureextraction_spark.multimodal.subcompartment import (
+        _axis_lengths,
+    )
+
+    m = np.zeros((10, 12), bool)
+    m[1:7, 1:3] = True   # 6x2
+    m[2:6, 8:11] = True  # 4x3
+    labels, n = label_components_numpy(m, 8)
+    assert n == 2
+    aspects = []
+    for k in (1, 2):
+        rr, cc = np.nonzero(labels == k)
+        maj, mi = _axis_lengths(rr.astype(float), cc.astype(float))
+        aspects.append(maj / mi)
+    a1 = math.sqrt((36 - 1) / (4 - 1))   # 6x2: (h^2-1)/(w^2-1)
+    a2 = math.sqrt((16 - 1) / (9 - 1))   # 4x3
+    assert np.allclose(sorted(aspects), sorted([a1, a2]))
