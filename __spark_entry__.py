@@ -74,7 +74,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, *by: str) -> DataFrame:
     """Round-robin a tiny single-file fixture scan across the core
     budget BEFORE a CPU-heavy mapInPandas rig. The sf fixtures are one
     parquet file each, so the scan plans as ONE partition and a pure-map
@@ -83,9 +83,17 @@ def _spread(df: DataFrame) -> DataFrame:
     only the id column — trivially cheap next to the per-row payload
     work. Corpus-scale inputs arrive in many partitions and don't need
     this; the OPERATORS stay pure maps (plan-locked in test_plans.py) —
-    spreading is input preparation, not operator shape."""
+    spreading is input preparation, not operator shape.
+
+    ``by``: optional hash-partitioning columns (r06). When the downstream
+    operator groups by a key (e.g. doc_id), spreading BY that key lets
+    every later groupBy/aggregate reuse this one exchange instead of
+    adding its own (guide §2.4: two operations keyed the same way share
+    one exchange) — the whole chain runs exchange-free after the spread.
+    Only safe parallelism-wise when ``by`` has far more distinct values
+    than partitions (unique ids here)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n)
+    return df.repartition(n, *[F.col(c) for c in by]) if by else df.repartition(n)
 
 
 def _r(c, n=6):
@@ -358,7 +366,7 @@ def q_minhash_dedup(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
     )
-    corpus = docs.unionByName(mutated)
+    corpus = _spread(docs.unionByName(mutated), "doc_id")
     return minhash_lsh_dedup(
         corpus, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
     ).select("id_a", "id_b", _r("jaccard_sim").alias("jaccard_sim"))
@@ -388,7 +396,7 @@ def q_simhash_dedup(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
     )
-    corpus = docs.unionByName(mutated)
+    corpus = _spread(docs.unionByName(mutated), "doc_id")
     out = simhash_dedup(
         corpus, "doc_id", "text", max_hamming=3, ngram=2, hasher="md5",
         max_bucket=None,
@@ -498,7 +506,11 @@ def q_payload_sum(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the documents fixture is a single-row-group parquet file —
+    # the scan plans as ONE partition and every CPU-heavy text projection
+    # below would run serially (guide §2.5: unsplittable input → repartition
+    # right after the read). The exchange moves only (doc_id, text).
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         X.n_words("text").alias("n_words"),
@@ -511,7 +523,7 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
@@ -519,7 +531,7 @@ def q_fingerprint(spark, sf_dir):
     """Document fingerprint via the native explode-shaped aggregate
     (fingerprint_agg) — no interpreted lambda in the plan; the Column
     form X.fingerprint is its property-tested per-row dual."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return X.fingerprint_agg(docs, "doc_id", "text")
 
 
@@ -816,14 +828,14 @@ def q_dedup_clusters(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
     )
-    return dedup_clusters(docs.unionByName(mutated), "doc_id", "text")
+    return dedup_clusters(_spread(docs.unionByName(mutated), "doc_id"), "doc_id", "text")
 
 
 def q_corpus_filter(spark, sf_dir):
     """End-to-end curation filter: quality ≥ 0.5, heuristic lang = 'en',
     exact-dedup winner — the keep-list a training-data pipeline feeds to
     tokenization."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     scored = docs.select(
         "doc_id", "text",
         X.quality_score("text").alias("q"),
@@ -837,7 +849,7 @@ def q_corpus_filter(spark, sf_dir):
 def q_top_words(spark, sf_dir):
     """Vocabulary building: global top-20 words by frequency (explode →
     map-side-combined count → deterministic top-k)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("text"))
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -983,7 +995,7 @@ def q_corpus_curation(spark, sf_dir):
     pytest-verified (tests/test_curation.py)."""
     from combinedfeatureextraction_spark.plans.curation import curate_corpus
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     _, manifest = curate_corpus(docs)
     return manifest.orderBy("lang_pred")
 
@@ -1898,7 +1910,7 @@ def q_rep_signals(spark, sf_dir):
     """Gopher-style repetition quality signals (Rae et al. 2021),
     scan-side: duplicate word / 2-gram / 3-gram fractions as pure native
     array math — zero shuffle. FULLY ORACLED via DuckDB list functions."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         _r(X.dup_ngram_frac("text", 1)).alias("dup_word_frac"),
@@ -1911,7 +1923,7 @@ def q_top_ngram(spark, sf_dir):
     """The aggregate-shaped repetition signal: most frequent word 2-gram
     per document + the character fraction it covers (explode → count →
     per-doc argmax, deterministic tie-break). FULLY ORACLED."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return X.top_ngram_stats(docs, "doc_id", "text", n=2)
 
 

@@ -212,11 +212,23 @@ def top_ngram_stats(
     characters it covers (count × gram length / text length). Explode →
     per-(doc, gram) count → per-doc argmax (deterministic tie-break:
     count desc, gram asc) — the combinable explode+groupBy shape
-    (fingerprint_agg's pattern), never a per-row lambda fold. Returns
+    (fingerprint_agg's pattern), never a per-row lambda fold. The argmax
+    is ``min(struct(-cnt, gram))`` — struct ordering compares -cnt then
+    gram, the EXACT dual of ``row_number over (cnt desc, gram asc)`` —
+    so both aggregation levels get full map-side partial aggregation
+    and the plan never sorts (the previous window formulation paid an
+    extra exchange + full sort of every (doc, gram) count row). Returns
     (id_col, count_out, frac_out); documents with no n-gram get count 0
-    and fraction 0."""
-    from pyspark.sql import Window
+    and fraction 0.
 
+    Physical note: the argmax uses ``max(cnt)`` + ``min_by(gram,
+    struct(-cnt, gram))`` rather than ``min(struct(-cnt, gram))`` — a
+    struct-typed min buffer is not hash-aggregable and planned as TWO
+    SortAggregates (full sort of every (doc, gram) count row); min_by is
+    a TypedImperativeAggregate and runs in ObjectHashAggregateExec,
+    sort-free. min_by's on-tie "first seen wins" nondeterminism is
+    neutralized by putting the gram itself in the ordering struct: equal
+    order keys imply equal grams, so every tie-winner is identical."""
     from combinedfeatureextraction_spark.operators.dedup import (
         word_shingles_all,
     )
@@ -231,19 +243,18 @@ def top_ngram_stats(
         .groupBy(id_col, "_chars", "_g")
         .agg(F.count("*").alias("_cnt"))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cnt").desc(), F.col("_g").asc()
+    best = counts.groupBy(id_col, "_chars").agg(
+        F.max("_cnt").alias("_cnt"),
+        F.min_by(
+            "_g", F.struct((-F.col("_cnt")).alias("_neg"), F.col("_g"))
+        ).alias("_g"),
     )
-    top = (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            F.col("_cnt").alias(count_out),
-            F.round(
-                F.col("_cnt") * F.length("_g") / F.col("_chars"), 6
-            ).alias(frac_out),
-        )
+    top = best.select(
+        id_col,
+        F.col("_cnt").alias(count_out),
+        F.round(
+            F.col("_cnt") * F.length("_g") / F.col("_chars"), 6
+        ).alias(frac_out),
     )
     # left join back so short documents (no n-grams) keep a row
     return (

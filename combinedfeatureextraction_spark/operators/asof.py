@@ -109,6 +109,7 @@ def asof_join(
 _GRID_K = 4  # max in-bucket ticks carried as fixed columns
 _GRID_MAX_BUILD = 500_000  # build rows beyond this → fall back to union
 _GRID_MAX_CELLS = 1 << 22  # dense (key × bucket) grid cap (~4M rows)
+_GRID_DENSE_BUDGET = 1 << 17  # cost model: dense cells worth broadcasting
 _BCAST_MAX_BUILD = 2_000_000  # broadcast history rollup cap
 
 # negative size-guard verdicts keyed by build DataFrame identity: a
@@ -246,6 +247,27 @@ def _asof_grid(
         return fallback(
             f"tick density exceeds {_GRID_K} per minimal bucket "
             f"(or the {_GRID_MAX_CELLS}-cell grid cap)"
+        )
+    # COST-BASED bailout (r06): the dense grid materializes
+    # n_keys × n_buckets cells however sparse the ticks are. When keys
+    # are many and their histories thin (cells ≫ ticks), compiling and
+    # broadcasting the dense frame costs more than the union shuffle it
+    # avoids — measured 6.0 s (grid, 1.92M cells / 200k ticks / 15k
+    # keys) vs 0.75 s (union) on 1M probes at local[32]. Budget: cells
+    # beyond 2× the tick count AND beyond _GRID_DENSE_BUDGET (≈10 MB of
+    # grid slots, the sane-broadcast neighborhood) take the shuffle
+    # plan. Only a COST choice, so it never applies where the union
+    # fallback is unavailable (streaming probe / raise_on_fallback —
+    # there the dense grid is the contract and size is governed by the
+    # existing feasibility caps alone).
+    if (
+        not raise_on_fallback
+        and not probe.isStreaming
+        and n_keys * n_buckets > max(_GRID_DENSE_BUDGET, 2 * len(pdf))
+    ):
+        return _asof_union(
+            probe, build, keys, probe_ts, build_ts, values,
+            allow_exact_matches, tolerance_seconds, salt=1,
         )
     b_lo, b_hi = 0, int(b.max())
 

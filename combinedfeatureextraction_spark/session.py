@@ -48,6 +48,17 @@ def get_spark(
         # with batch size.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # ObjectHashAggregate (collect_set/min_by/...) falls back to
+        # SORT-based merging after this many distinct groups per task —
+        # the 128 default silently turns every corpus-scale collect_set /
+        # argmax aggregation into a full sort. 128k groups × ~100-byte
+        # entries bounds the hash map at ~13 MB/task (well inside
+        # execution memory at any scale); beyond it the sort fallback
+        # still engages gracefully.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "131072",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("CFE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
