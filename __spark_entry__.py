@@ -409,7 +409,13 @@ def q_embedding_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    # spread: the single-file embeddings scan would run the whole
+    # cross-join × cosine on one core (measured 1.63 s → 0.42 s). The
+    # interpreted-lambda cosine stays: at 60k scored rows it beats the
+    # 192-term unrolled form (0.42 vs 0.95 s — codegen'd element_at
+    # chains pay per-term null checks; lambda contention only bites at
+    # millions of rows).
+    out = brute_force_topk(_spread(emb), queries, "vec_id", "embedding", k=5)
     return out.select("query_id", "vec_id", _r("cos_sim").alias("cos_sim"), "rank")
 
 
@@ -1944,7 +1950,11 @@ def q_watershed_split(spark, sf_dir):
         watershed_split,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # project BEFORE the operator: applyInPandas is opaque to column
+    # pruning (guide §4.1), so every input column — including the fat
+    # `props` json string no output needs — would otherwise ride the
+    # session exchange AND the Arrow boundary both ways.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     s = sessionize(ev, ["user_id"], "ts", GAP)
     out = watershed_split(
         s, ["user_id"], "ts", "value", tiebreak=["event_id"]

@@ -37,6 +37,18 @@ def get_spark(
         .appName(app_name)
         # match partition count to parallelism, not the 200 default
         .config("spark.sql.shuffle.partitions", str(sp))
+        # scan split size (guide §6). The 128 MB default packs a whole
+        # 100 MB-class multi-row-group file into ONE scan task, idling
+        # every other core through the map stage; 16 MB right-sizes
+        # splits to the local core budget (row groups land one per
+        # split). Scale-dependent: on a cluster with TB-scale inputs set
+        # CFE_MAX_PARTITION_BYTES=512m-1g (fewer, larger map tasks feed
+        # shuffles better, §2.2) — parallelism there comes from file
+        # count, not split granularity.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("CFE_MAX_PARTITION_BYTES", "16m"),
+        )
         # AQE: runtime coalesce + skew-join splitting (Zipf keys, SURVEY §4)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
