@@ -193,7 +193,12 @@ def masked_color_stats(
                      *(float(x) for x in std))
                 )
             yield pd.DataFrame(
-                rows, columns=[f.name for f in COLOR_STATS_SCHEMA.fields]
+                rows,
+                # first column must carry the CALLER's id_col name — the
+                # Spark output schema below uses it, and a non-default
+                # id_col would otherwise fail the mapInPandas column match
+                columns=[id_col]
+                + [f.name for f in COLOR_STATS_SCHEMA.fields][1:],
             )
 
     out_schema = T.StructType(

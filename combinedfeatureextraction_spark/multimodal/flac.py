@@ -254,6 +254,9 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
             b.read(8)
         elif sr_code in (13, 14):
             b.read(16)
+        elif sr_code == 15:
+            # RFC 9639: sample-rate code 15 is invalid in a frame header
+            raise ValueError("invalid FLAC frame sample rate code")
         frame_bps = {
             0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32
         }.get(sz_code)

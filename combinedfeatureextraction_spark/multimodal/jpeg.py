@@ -88,6 +88,11 @@ class _HuffTable:
     # DHT parse dominates the whole decode
     _cache: dict[tuple, "_HuffTable"] = {}
 
+    # bound the cache: ~1 MB of LUT lists per distinct spec would
+    # otherwise accumulate for the life of the Python worker on a corpus
+    # with many custom tables; rebuild on miss is only ~ms
+    _CACHE_MAX = 64
+
     def __new__(cls, bits: list[int], values: list[int]) -> "_HuffTable":
         key = (tuple(bits), tuple(values))
         hit = cls._cache.get(key)
@@ -95,6 +100,8 @@ class _HuffTable:
             return hit
         self = super().__new__(cls)
         self._build(bits, values)
+        if len(cls._cache) >= cls._CACHE_MAX:
+            cls._cache.clear()
         cls._cache[key] = self
         return self
 
@@ -199,27 +206,42 @@ class _EntropyReader:
             raise ValueError("JPEG entropy data truncated (missing RST)")
         self._load(self.seg_idx)
 
+    # NOTE on the three refill loops below: a truncated/corrupt entropy
+    # stream can decode garbage zero bits from the 3-byte pad and then
+    # run past it; the IndexError from self.data[self.p] is re-raised as
+    # the documented ValueError (try/except is zero-cost on the non-
+    # raising hot path in CPython 3.11+).
+
     def peek16(self) -> int:
-        while self.nbits < 16:
-            self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
-            self.p += 1
-            self.nbits += 8
+        try:
+            while self.nbits < 16:
+                self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
+                self.p += 1
+                self.nbits += 8
+        except IndexError:
+            raise ValueError("JPEG entropy data truncated") from None
         return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
     def receive(self, n: int) -> int:
         if n == 0:
             return 0
-        while self.nbits < n:
-            self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
-            self.p += 1
-            self.nbits += 8
+        try:
+            while self.nbits < n:
+                self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
+                self.p += 1
+                self.nbits += 8
+        except IndexError:
+            raise ValueError("JPEG entropy data truncated") from None
         self.nbits -= n
         self.consumed += n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def bit(self) -> int:
         if self.nbits == 0:
-            self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
+            try:
+                self.acc = ((self.acc << 8) | self.data[self.p]) & 0xFFFFFFFF
+            except IndexError:
+                raise ValueError("JPEG entropy data truncated") from None
             self.p += 1
             self.nbits = 8
         self.nbits -= 1

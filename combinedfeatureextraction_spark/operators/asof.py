@@ -112,12 +112,15 @@ _GRID_MAX_CELLS = 1 << 22  # dense (key × bucket) grid cap (~4M rows)
 _GRID_DENSE_BUDGET = 1 << 17  # cost model: dense cells worth broadcasting
 _BCAST_MAX_BUILD = 2_000_000  # broadcast history rollup cap
 
-# negative size-guard verdicts keyed by build DataFrame identity: a
-# too-large build side probed by many plan constructions (e.g. a stream
-# restarted, or repeated enrich construction) must not re-pull cap+1
-# rows per construction. Only the NEGATIVE verdict is cached — an
-# under-cap build is pulled anyway (the pull IS the grid input), so a
-# positive cache would only save work a stale-append bug could exploit.
+# size-guard verdicts keyed by build DataFrame identity: a too-large
+# build side probed by many plan constructions (e.g. a stream restarted,
+# or repeated enrich construction) must not re-pull cap+1 rows per
+# construction. NOTE (ADVICE r05): _fits_grid_cap caches the POSITIVE
+# verdict too — that caching is confined to the pre-check path (one
+# guard job per static dim across repeated enrich constructions) and is
+# safe only because _asof_grid itself re-proves the cap with its bounded
+# limit(cap+1) pull, so a dim-table append between constructions can
+# never ride a stale under-cap answer into the grid build.
 import weakref as _weakref
 
 _GRID_GUARD_CACHE: "_weakref.WeakKeyDictionary[DataFrame, bool]" = (
