@@ -842,11 +842,19 @@ def q_corpus_filter(spark, sf_dir):
     exact-dedup winner — the keep-list a training-data pipeline feeds to
     tokenization."""
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # lazy checkpoint between the scored projection and the filter: a
+    # filter on aliased expression columns is otherwise substituted BELOW
+    # the projection, and predicate evaluation has no cross-expression
+    # subexpression sharing — the quality+lang trees ran ~100× slower as
+    # a pushed predicate than as this codegen'd projection (65 s → 2.6 s
+    # at sf1.0; see plans/curation.py for the same boundary).
     scored = docs.select(
         "doc_id", "text",
         X.quality_score("text").alias("q"),
         X.lang_id("text").alias("lp"),
-    ).filter((F.col("q") >= 0.5) & (F.col("lp") == "en"))
+    ).localCheckpoint(eager=False).filter(
+        (F.col("q") >= 0.5) & (F.col("lp") == "en")
+    )
     return exact_dedup(scored, ["text"], [F.col("doc_id").asc()]).select(
         "doc_id", F.col("q").alias("quality")
     )
