@@ -1983,62 +1983,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          repo's identical harness (tests/run_oracle_compare.py, run over
          ALL registered queries in CI/pytest)."""
     return {
-        # -- r05: new queries / changed impl or plan — gate first --------
-        "media_decode_flac": q_media_decode_flac,  # NEW r05 (FLAC codec)
-        "subcompartment": q_subcompartment,  # NEW r05 (segmentation cascade)
-        "subcompartment_texture": q_subcompartment_texture,  # NEW r05 (GLCM)
-        "subcompartment_morph": q_subcompartment_morph,  # NEW r05 (morphology)
-        "polygon_ring": q_polygon_ring,  # NEW r05 (boundary-ring composite)
-        "color_stats": q_color_stats,  # NEW r05 (HSV/LAB masked stats)
-        "media_decode_jpeg": q_media_decode_jpeg,  # impl changed (LUT entropy decode)
-        "asof_join_grid": q_asof_join_grid,  # impl changed (bounded-pull guard)
+        # -- r06 (optimization round): impl/plan changed — gate first ----
+        # dedup/text family: _spread input prep + banded-candidates
+        # aggregate/broadcast split + min_by top-ngram argmax + the
+        # scored-stage checkpoint (results identical, re-oracled)
+        "top_ngram": q_top_ngram,  # impl changed (min_by argmax, no window)
+        "simhash_dedup": q_simhash_dedup,  # plan changed (_spread by id)
+        "minhash_dedup": q_minhash_dedup,  # plan changed (spread + candidates)
+        "dedup_clusters": q_dedup_clusters,  # plan changed (same)
+        "corpus_curation": q_corpus_curation,  # impl changed (feats checkpoint)
+        "corpus_filter": q_corpus_filter,  # impl changed (scored checkpoint)
+        "asof_join_grid": q_asof_join_grid,  # impl changed (grid cost bailout)
         "streaming_asof": q_streaming_asof,  # grid path shared with the above
-        "ngram_jaccard": q_ngram_jaccard,  # impl changed (streaming reject)
-        "embedding_near_dup": q_embedding_near_dup,  # impl changed (same)
-        "polygon_features": q_polygon_features,  # plan changed (_spread)
-        "polygon_components": q_polygon_components,  # plan changed (_spread)
-        "polygon_watershed": q_polygon_watershed,  # plan changed (_spread)
-        "polygon_holes": q_polygon_holes,  # plan changed (_spread)
-        "polygon_edt": q_polygon_edt,  # plan changed (_spread)
-        "media_decode": q_media_decode,  # plan changed (_spread)
-        "media_decode_png": q_media_decode_png,  # plan changed (_spread)
-        # -- r03-dated rows rotated back in (driver row ages to 2 rounds) -
-        "deconvolution": q_deconvolution,
-        "exact_dedup": q_exact_dedup,
-        "minhash_dedup": q_minhash_dedup,
-        "embedding_topk": q_embedding_topk,
-        "dedup_clusters": q_dedup_clusters,
-        "lag_lead": q_lag_lead,
-        "session_stats": q_session_stats,
-        "forward_fill": q_forward_fill,
-        "dist_to_boundary": q_dist_to_boundary,
-        "asof_join_cogroup": q_asof_join_cogroup,
-        "six_stat_hierarchy": q_six_stat_hierarchy,
-        "weighted_mean": q_weighted_mean,
-        "masked_mean": q_masked_mean,
-        "global_threshold": q_global_threshold,
-        "percent_rank": q_percent_rank,
-        "topk": q_topk,
-        "last_event": q_last_event,
-        "dim_join": q_dim_join,
-        "interval_join": q_interval_join,
-        "fingerprint": q_fingerprint,
-        "lang_id": q_lang_id,
-        "streaming_dedup": q_streaming_dedup,
-        "zscore": q_zscore,
-        "ntile": q_ntile,
-        "corpus_filter": q_corpus_filter,
-        "top_words": q_top_words,
-        "normalize_embedding": q_normalize_embedding,
-        "approx_stats": q_approx_stats,
-        "asof_strict": q_asof_strict,
-        # -- r04-dated fill to 50 (core families, oldest-equal tier) -----
-        "payload_passthrough": q_payload_passthrough,
-        "payload_sum": q_payload_sum,
-        "text_quality": q_text_quality,
-        # ---- position 51+ : rotated out of the r05 driver window -------
-        # (every one below has a driver-green row in CORRECTNESS_r04.json
-        # and remains in the repo harness / pytest gate)
+        "embedding_topk": q_embedding_topk,  # plan changed (_spread)
+        "watershed_split": q_watershed_split,  # plan changed (input pruning)
+        "text_quality": q_text_quality,  # plan changed (_spread)
+        "lang_id": q_lang_id,  # plan changed (_spread)
+        "fingerprint": q_fingerprint,  # plan changed (_spread by id)
+        "rep_signals": q_rep_signals,  # plan changed (_spread)
+        "top_words": q_top_words,  # plan changed (_spread)
+        # rasterize kernels rewritten value-identical (vectorized EDT /
+        # labeling / scanline fill, flat-index flood — property-tested
+        # bitwise vs the previous kernels)
+        "polygon_features": q_polygon_features,
+        "polygon_components": q_polygon_components,
+        "polygon_watershed": q_polygon_watershed,
+        "polygon_holes": q_polygon_holes,
+        "polygon_edt": q_polygon_edt,
+        "polygon_ring": q_polygon_ring,
+        "subcompartment": q_subcompartment,
+        "subcompartment_texture": q_subcompartment_texture,
+        "subcompartment_morph": q_subcompartment_morph,
+        # codec/operator correctness fixes (ADVICE r05)
+        "color_stats": q_color_stats,  # id_col plumb fix
+        "media_decode_jpeg": q_media_decode_jpeg,  # truncation contract + LUT cap
+        "media_decode_flac": q_media_decode_flac,  # reserved sr-code reject
+        # -- r04-dated rows rotated back in (oldest-first fill to 50) ----
         "salted_agg": q_salted_agg,
         "asof_tolerance": q_asof_tolerance,
         "asof_join_salted": q_asof_join_salted,
@@ -2046,14 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_tokens": q_pack_tokens,
         "stratified_take": q_stratified_take,
-        "rep_signals": q_rep_signals,
-        "top_ngram": q_top_ngram,
-        "watershed_split": q_watershed_split,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
-        "simhash_dedup": q_simhash_dedup,
-        "corpus_curation": q_corpus_curation,
-        "lsh_topk": q_lsh_topk,
         "lsh_topk_exact": q_lsh_topk_exact,
         "sessions_filtered": q_sessions_filtered,
         "rebase": q_rebase,
@@ -2068,6 +2042,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "quantiles": q_quantiles,
         "tumbling_window": q_tumbling_window,
+        # ---- position 51+ : rotated out of the r06 driver window -------
+        # (r05-windowed queries below hold a driver-green row in
+        # CORRECTNESS_r05.json; the handful of r04-dated ones that did
+        # not fit — value_histogram, distinct_users, rolling_window,
+        # sessionize, asof_join, six_stat, glcm_stats, component_stats,
+        # lsh_topk (rows-only by design) — stay covered by the repo's
+        # identical harness, run over ALL registered queries)
+        "media_decode": q_media_decode,
+        "media_decode_png": q_media_decode_png,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "deconvolution": q_deconvolution,
+        "exact_dedup": q_exact_dedup,
+        "lag_lead": q_lag_lead,
+        "session_stats": q_session_stats,
+        "forward_fill": q_forward_fill,
+        "dist_to_boundary": q_dist_to_boundary,
+        "asof_join_cogroup": q_asof_join_cogroup,
+        "six_stat_hierarchy": q_six_stat_hierarchy,
+        "weighted_mean": q_weighted_mean,
+        "masked_mean": q_masked_mean,
+        "global_threshold": q_global_threshold,
+        "percent_rank": q_percent_rank,
+        "topk": q_topk,
+        "last_event": q_last_event,
+        "dim_join": q_dim_join,
+        "interval_join": q_interval_join,
+        "streaming_dedup": q_streaming_dedup,
+        "zscore": q_zscore,
+        "ntile": q_ntile,
+        "normalize_embedding": q_normalize_embedding,
+        "approx_stats": q_approx_stats,
+        "asof_strict": q_asof_strict,
+        "payload_passthrough": q_payload_passthrough,
+        "payload_sum": q_payload_sum,
+        "lsh_topk": q_lsh_topk,
         "value_histogram": q_value_histogram,
         "distinct_users": q_distinct_users,
         "rolling_window": q_rolling_window,
