@@ -200,17 +200,22 @@ def minhash_signatures_from_sets(
     xxhash64(h, i). Explode of a long array (cheap) → num_hashes narrow
     min-aggregates with full map-side combine. (A nested-lambda array-fold
     formulation is shuffle-free but builds a Catalyst tree that falls out
-    of codegen — measured ~50x slower.)"""
+    of codegen — measured ~50x slower.) Aggregate + array expressions are
+    assembled as SQL strings: ONE py4j/parse round trip each — the Column-
+    operator form (min(xxhash64(col, lit)) × num_hashes) cost ~0.6 s of
+    pure driver-side build per invocation (r06 profile), paid on every
+    bench rep. SQL int literals carry the same IntegerType as F.lit(int),
+    so xxhash64 seeds — and therefore signatures — are bit-identical."""
     ex = sh.select("_id", F.explode("_sh").alias("_h"))
     mins = ex.groupBy("_id").agg(
+        F.expr("min(xxhash64(_h, 0)) AS _h0"),
         *[
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+            F.expr(f"min(xxhash64(_h, {i})) AS _h{i}")
+            for i in range(1, num_hashes)
+        ],
     )
-    return mins.select(
-        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
-    )
+    arr = ", ".join(f"_h{i}" for i in range(num_hashes))
+    return mins.select("_id", F.expr(f"array({arr}) AS _sig"))
 
 
 def minhash_signatures(
@@ -392,23 +397,22 @@ def minhash_lsh_candidates_from_sets(
     _banded_candidates recall contract). Output: distinct (id_a, id_b)."""
     r = num_hashes // bands
     sig = minhash_signatures_from_sets(sh, num_hashes)
+    # band structs as ONE SQL string (r06): the Column-operator form cost
+    # ~0.7 s of py4j round trips per build; `_sig[k]` / int literals parse
+    # to the identical GetArrayItem / IntegerType nodes, so band hashes
+    # are bit-identical to the previous construction.
+    band_structs = ", ".join(
+        "struct({bi} AS band, xxhash64({els}) AS bh)".format(
+            bi=bi,
+            els=", ".join(f"_sig[{bi * r + j}]" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
     band_rows = sig.select(
         "_id",
         # full-signature hash: the sub-group key for oversized buckets
-        F.xxhash64("_sig").alias("_sigh"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("_sig")[bi * r + j] for j in range(r)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
+        F.expr("xxhash64(_sig) AS _sigh"),
+        F.expr(f"explode(array({band_structs})) AS b"),
     ).select("_id", "_sigh", "b.band", "b.bh")
     return _banded_candidates(
         band_rows, ["band", "bh"], max_bucket, sig_cols=["_sigh"]
@@ -539,9 +543,7 @@ def simhash_signatures(
     sums = ex.groupBy("_id").agg(
         F.count("*").alias("_n"),
         *[
-            F.expr(f"sum(shiftright(_h{w}, {j}) & {_LANE_MASK}L)").alias(
-                f"_s{w}_{j}"
-            )
+            F.expr(f"sum(shiftright(_h{w}, {j}) & {_LANE_MASK}L) AS _s{w}_{j}")
             for w in (0, 1)
             for j in range(16)
         ],
@@ -589,26 +591,23 @@ def simhash_candidates(
     values give 2³² buckets per band — expected occupancy O(N/2³²) at
     corpus scale. Signatures ride the band rows, so no join back is
     needed. Output: (id_a, id_b) + both signature pairs."""
+    # chunk structs as ONE SQL string (r06 py4j-chatter cut); array order
+    # [lo0, hi2, lo1, hi3] preserved from the previous interleaved loop
     chunk_exprs = []
     for i in range(2):
         chunk_exprs.append(
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftright(F.col("_sig_lo"), i * 32)
-                .bitwiseAND(F.lit(0xFFFFFFFF))
-                .alias("cv"),
-            )
+            f"struct({i} AS chunk,"
+            f" shiftright(_sig_lo, {i * 32}) & 4294967295 AS cv)"
         )
         chunk_exprs.append(
-            F.struct(
-                F.lit(2 + i).alias("chunk"),
-                F.shiftright(F.col("_sig_hi"), i * 32)
-                .bitwiseAND(F.lit(0xFFFFFFFF))
-                .alias("cv"),
-            )
+            f"struct({2 + i} AS chunk,"
+            f" shiftright(_sig_hi, {i * 32}) & 4294967295 AS cv)"
         )
     band_rows = sigs.select(
-        "_id", "_sig_lo", "_sig_hi", F.explode(F.array(*chunk_exprs)).alias("c")
+        "_id",
+        "_sig_lo",
+        "_sig_hi",
+        F.expr(f"explode(array({', '.join(chunk_exprs)})) AS c"),
     ).select("_id", "_sig_lo", "_sig_hi", "c.chunk", "c.cv")
     return _banded_candidates(
         band_rows,
