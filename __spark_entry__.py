@@ -70,8 +70,25 @@ from combinedfeatureextraction_spark.operators.window_features import (
 GAP = 172800.0  # session gap (seconds): 2 days — yields multi-event sessions
 
 
+#: schema (STATIC METADATA, never data) per (sf_dir, table) — a plain
+#: `spark.read.parquet` re-reads the footer to infer the schema on EVERY
+#: call, ~70 ms per table per bench rep (r06 measured: 95→26 ms/read on
+#: events with an explicit schema). Production engines read schemas from
+#: a catalog, not per-query footer inference (optimization guide §6);
+#: `sources.catalog` does exactly that for managed tables. Every byte of
+#: DATA is still scanned and computed per execution — only the
+#: `StructType` is reused, and the first read of each table still infers
+#: it from the file itself.
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def _spread(df: DataFrame, *by: str) -> DataFrame:

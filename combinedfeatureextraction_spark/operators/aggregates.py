@@ -30,20 +30,29 @@ SIX_STATS = ("sum", "mean", "std", "median", "min", "max")
 
 
 def _stat_exprs(feature: str, approx: bool) -> list[Column]:
-    c = F.col(feature)
-    med = (
-        F.percentile_approx(c, 0.5, 10000) if approx else F.median(c)
-    )
+    # assembled as SQL strings — ONE py4j/parse round trip per stat: the
+    # Column-operator form (nan_inf_to_zero(agg).alias() × 6 per feature)
+    # cost ~0.1 s of driver-side build per feature (r06 profile), paid on
+    # every bench rep. `0.0D` / `double('Infinity')` keep literal types
+    # identical to F.lit(0.0) / F.lit(float('inf')); duplicated aggregate
+    # text dedups in planning exactly like the shared Column subtree did.
+    q = f"`{feature}`"
+    med = f"percentile_approx({q}, 0.5D, 10000)" if approx else f"median({q})"
     pairs = [
-        ("sum", F.sum(c)),
-        ("mean", F.avg(c)),
-        ("std", F.stddev_pop(c)),
+        ("sum", f"sum({q})"),
+        ("mean", f"avg({q})"),
+        ("std", f"stddev_pop({q})"),
         ("median", med),
-        ("min", F.min(c)),
-        ("max", F.max(c)),
+        ("min", f"min({q})"),
+        ("max", f"max({q})"),
     ]
     return [
-        nan_inf_to_zero(e).alias(f"{feature}_{s}") for s, e in pairs
+        F.expr(
+            f"CASE WHEN {e} IS NULL OR isnan({e})"
+            f" OR {e} = double('Infinity') OR {e} = double('-Infinity')"
+            f" THEN 0.0D ELSE {e} END AS `{feature}_{s}`"
+        )
+        for s, e in pairs
     ]
 
 

@@ -98,37 +98,47 @@ def glcm_texture(
     pairs = glcm_pairs(df, level, keys, order, symmetric=symmetric, offset=offset)
     hist = pairs.groupBy(*keys, "i", "j").agg(F.count("*").alias("c"))
 
-    c = F.col("c")
-    i, j = F.col("i").cast("long"), F.col("j").cast("long")
-    d2 = (i - j) * (i - j)
     # products in decimal(38,0) INSIDE the aggregate: c*c in long would
     # overflow (ANSI error) once a co-occurrence cell passes ~3·10⁹ —
     # the decimal cast must happen before the multiply, not after the
     # sum. Runs over ≤ levels² rows per entity, so the decimal math is
-    # off the hot path.
-    cd, id_, jd = c.cast(_DEC), i.cast(_DEC), j.cast(_DEC)
+    # off the hot path. Expressions assembled as SQL strings (ONE
+    # py4j/parse round trip each — the Column-operator form cost ~0.25 s
+    # of driver-side build per invocation, r06 profile); casts/literals
+    # (`1.0D`, BIGINT, decimal(38,0)) mirror the previous Column tree
+    # type-for-type, so the decimal math is unchanged.
+    i, j = "CAST(i AS BIGINT)", "CAST(j AS BIGINT)"
+    d2 = f"(({i} - {j}) * ({i} - {j}))"
+    cd, id_, jd = (
+        f"CAST(c AS {_DEC})",
+        f"CAST({i} AS {_DEC})",
+        f"CAST({j} AS {_DEC})",
+    )
     agg = hist.groupBy(*keys).agg(
-        F.sum(c).alias("_n"),
-        F.sum(cd * d2.cast(_DEC)).alias("_sij2"),
-        F.sum(c.cast("double") / (F.lit(1.0) + d2.cast("double"))).alias("_shom"),
-        F.sum(cd * cd).alias("_s2"),
-        F.sum(cd * id_).alias("_si"),
-        F.sum(cd * id_ * id_).alias("_sii"),
-        F.sum(cd * id_ * jd).alias("_sij"),
+        F.expr("sum(c) AS _n"),
+        F.expr(f"sum({cd} * CAST({d2} AS {_DEC})) AS _sij2"),
+        F.expr(
+            f"sum(CAST(c AS DOUBLE) / (1.0D + CAST({d2} AS DOUBLE))) AS _shom"
+        ),
+        F.expr(f"sum({cd} * {cd}) AS _s2"),
+        F.expr(f"sum({cd} * {id_}) AS _si"),
+        F.expr(f"sum({cd} * {id_} * {id_}) AS _sii"),
+        F.expr(f"sum({cd} * {id_} * {jd}) AS _sij"),
     )
 
-    n = F.col("_n").cast("double")
-    nd = F.col("_n").cast(_DEC)
-    sid = F.col("_si").cast(_DEC)
-    var_num = nd * F.col("_sii").cast(_DEC) - sid * sid  # n²σ², exact
-    cov_num = nd * F.col("_sij").cast(_DEC) - sid * sid  # n²cov, exact
-    corr = F.when(var_num <= 0, F.lit(1.0)).otherwise(
-        cov_num.cast("double") / var_num.cast("double")
-    )
+    n = "CAST(_n AS DOUBLE)"
+    nd = f"CAST(_n AS {_DEC})"
+    sid = f"CAST(_si AS {_DEC})"
+    var_num = f"({nd} * CAST(_sii AS {_DEC}) - {sid} * {sid})"  # n²σ², exact
+    cov_num = f"({nd} * CAST(_sij AS {_DEC}) - {sid} * {sid})"  # n²cov, exact
     return agg.select(
         *keys,
-        (F.col("_sij2").cast("double") / n).alias("contrast"),
-        (F.col("_shom") / n).alias("homogeneity"),
-        (F.sqrt(F.col("_s2").cast("double")) / n).alias("energy"),
-        corr.alias("correlation"),
+        F.expr(f"CAST(_sij2 AS DOUBLE) / {n} AS contrast"),
+        F.expr(f"_shom / {n} AS homogeneity"),
+        F.expr(f"sqrt(CAST(_s2 AS DOUBLE)) / {n} AS energy"),
+        F.expr(
+            f"CASE WHEN {var_num} <= 0 THEN 1.0D"
+            f" ELSE CAST({cov_num} AS DOUBLE) / CAST({var_num} AS DOUBLE)"
+            f" END AS correlation"
+        ),
     )

@@ -75,6 +75,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("CFE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch on the fastest local storage (guide §5):
+    # the sandbox's /tmp default is disk-backed while /dev/shm is tmpfs
+    # — scripts/scaling_run.py has used the tmpfs dir since r02, now the
+    # default everywhere. On a cluster this is the NVMe local dir the
+    # platform provisions per executor; CFE_SPARK_LOCAL_DIR overrides,
+    # and the Spark default applies where /dev/shm doesn't exist.
+    local_dir = os.environ.get("CFE_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/cfe_spark_local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
